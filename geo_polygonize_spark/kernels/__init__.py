@@ -11,6 +11,7 @@ from .rings import (
     centroid,
     point_in_ring,
     points_in_ring,
+    polygon_centroid,
     signed_area,
 )
 
@@ -23,6 +24,7 @@ __all__ = [
     "centroid",
     "point_in_ring",
     "points_in_ring",
+    "polygon_centroid",
     "polygonize_lines",
     "polygonize_segments",
     "segmentize",

@@ -56,6 +56,28 @@ def centroid(xs: np.ndarray, ys: np.ndarray):
     return cx + x0, cy + y0
 
 
+def polygon_centroid(shell_xs, shell_ys, holes=()):
+    """Area-weighted centroid of a polygon with holes (the probe the
+    reference takes from geo's Centroid for tile ownership,
+    src/tiling.rs:89-91). Falls back to the shell centroid when the
+    net area degenerates to ~0 (reference skips such polys; keeping
+    the shell centroid keeps ownership exactly-once instead)."""
+    a0 = abs(signed_area(shell_xs, shell_ys))
+    cx0, cy0 = centroid(shell_xs, shell_ys)
+    num_x = a0 * cx0
+    num_y = a0 * cy0
+    den = a0
+    for hxs, hys in holes:
+        ah = abs(signed_area(hxs, hys))
+        chx, chy = centroid(hxs, hys)
+        num_x -= ah * chx
+        num_y -= ah * chy
+        den -= ah
+    if abs(den) < 1e-12:
+        return cx0, cy0
+    return num_x / den, num_y / den
+
+
 def bbox(xs: np.ndarray, ys: np.ndarray):
     return float(np.min(xs)), float(np.min(ys)), float(np.max(xs)), float(np.max(ys))
 
