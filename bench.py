@@ -1,0 +1,129 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: images/sec through the flagship polygonize +
+spatial-join (PIP + kNN) + raster-tile pipeline over a synthesized
+image+caption table sized to the scale factor (BASELINE.json metric).
+Also times the reference bench workloads (grid/random polygonize,
+BENCHMARKS.md) and a few oracle-checked operator analogs on the
+TPC-H-ish tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from geo_polygonize_spark.engine import image_pipeline
+    from geo_polygonize_spark.operators.polygonize_op import tiled_polygonize
+    from geo_polygonize_spark.plans import build_session
+    from geo_polygonize_spark.sources.fixtures import grid_lines, random_lines
+    from geo_polygonize_spark.sources.images import synth_images
+
+    spark = build_session("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    def lines_df(xs, ys):
+        return spark.createDataFrame(
+            [
+                (i, [float(v) for v in x], [float(v) for v in y], "bench")
+                for i, (x, y) in enumerate(zip(xs, ys))
+            ],
+            "line_id long, xs array<double>, ys array<double>, dataset string",
+        )
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 4)
+        return out
+
+    # ---- setup (not timed in the metric): image table on parquet ----
+    n_images = max(int(1_000_000 * sf), 2_000)
+    img_path = f"/tmp/bench_images_sf{sf}.parquet"
+    if not os.path.exists(img_path):
+        synth_images(spark, n_images, partitions=max(cpus, 8)).write.mode("overwrite").parquet(
+            img_path
+        )
+    images = spark.read.parquet(img_path)
+
+    # ---- reference workloads (grid / random polygonize) -------------
+    gn = 100
+    gx, gy = grid_lines(gn)
+    grid_df = lines_df(gx, gy)
+    c = timed(
+        "tiled_polygonize_grid100",
+        lambda: tiled_polygonize(
+            grid_df,
+            tile_size=25.0,
+            buffer=1.5,
+            bbox=(0.0, 0.0, float(gn), float(gn)),
+            drop_collapsed=True,
+        ).count(),
+    )
+    assert c == gn * gn, f"grid100 produced {c}"
+
+    rx, ry = random_lines(200)
+    rnd_df = lines_df(rx, ry)
+    timed(
+        "polygonize_random200",
+        lambda: tiled_polygonize(
+            rnd_df, tile_size=50.0, buffer=10.0, bbox=(0.0, 0.0, 100.0, 100.0), drop_collapsed=True
+        ).count(),
+    )
+
+    # ---- flagship: images/sec through the full pipeline -------------
+    n = 50
+    lx, ly = grid_lines(n)
+    cover_df = lines_df(lx, ly)
+    bbox = (0.0, 0.0, float(n), float(n))
+
+    def run_pipeline():
+        out = image_pipeline(
+            spark, images, cover_df, bbox, tile_size=10.0, buffer=1.5, knn_k=3
+        )
+        return out.count()
+
+    n_out = timed("image_pipeline", run_pipeline)
+    images_per_sec = n_images / timings["image_pipeline"]
+
+    # ---- operator analogs on the TPC-H-ish tables --------------------
+    qs = entrymod.queries()
+    for name in ("p3_p7_dedup_distinct", "o4_j2_argmin_parent", "j2_pip_rect", "o1_morton_cell"):
+        timed(name, lambda name=name: qs[name](spark, sf_dir).count())
+
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_pipeline",
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_images": n_images,
+                "n_pipeline_rows": n_out,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,70 @@ def _orient2d_exact(ax, ay, bx, by, cx, cy) -> int:
     return (det > 0) - (det < 0)
 
 
+_SPLIT = 134217729.0  # 2^27 + 1, Dekker/Veltkamp splitter
+
+
+def _two_diff(a, b):
+    """Exact a - b as (hi, lo) with a - b == hi + lo (Knuth two-sum)."""
+    x = a - b
+    bvirt = a - x
+    avirt = x + bvirt
+    bround = bvirt - b
+    around = a - avirt
+    return x, around + bround
+
+
+def _two_prod(a, b):
+    """Exact a * b as (hi, lo) via Veltkamp splitting (Dekker)."""
+    x = a * b
+    c = _SPLIT * a
+    ahi = c - (c - a)
+    alo = a - ahi
+    c = _SPLIT * b
+    bhi = c - (c - b)
+    blo = b - bhi
+    err = ((ahi * bhi - x) + ahi * blo + alo * bhi) + alo * blo
+    return x, err
+
+
+def _orient2d_exact_batch(ax, ay, bx, by, cx, cy) -> np.ndarray:
+    """Exact orientation sign for many rows at once: expansion
+    arithmetic (vectorized two-diff / two-prod → 16 exact terms per
+    row) + per-row ``math.fsum`` for the correctly-rounded total. A
+    term-wise exact alternative to Shewchuk's adaptive stages; the
+    scalar Fraction oracle remains for the (denormal-range) rows where
+    fsum could round a nonzero sum to zero."""
+    import math
+
+    d1, e1 = _two_diff(ax, cx)  # ax - cx
+    d2, e2 = _two_diff(by, cy)  # by - cy
+    d3, e3 = _two_diff(ay, cy)  # ay - cy
+    d4, e4 = _two_diff(bx, cx)  # bx - cx
+    terms = []
+    for p, q in ((d1, d2), (d1, e2), (e1, d2), (e1, e2)):
+        hi, lo = _two_prod(p, q)
+        terms.append(hi)
+        terms.append(lo)
+    for p, q in ((d3, d4), (d3, e4), (e3, d4), (e3, e4)):
+        hi, lo = _two_prod(p, q)
+        terms.append(-hi)
+        terms.append(-lo)
+    mat = np.stack(terms, axis=1)  # (n, 16), exact decomposition of det
+    out = np.empty(mat.shape[0], dtype=np.int8)
+    tiny = 5e-324 * 16
+    for i in range(mat.shape[0]):
+        s = math.fsum(mat[i])
+        if s > tiny:
+            out[i] = 1
+        elif s < -tiny:
+            out[i] = -1
+        elif s == 0.0:
+            out[i] = 0
+        else:  # |s| in the denormal danger zone → exact rational oracle
+            out[i] = _orient2d_exact(ax[i], ay[i], bx[i], by[i], cx[i], cy[i])
+    return out
+
+
 def orient2d_sign(ax, ay, bx, by, cx, cy) -> np.ndarray:
     """Sign of the orientation determinant of (a, b, c), exactly.
 
@@ -58,16 +122,9 @@ def orient2d_sign(ax, ay, bx, by, cx, cy) -> np.ndarray:
     if np.any(uncertain):
         ax, ay, bx, by, cx, cy = np.broadcast_arrays(ax, ay, bx, by, cx, cy)
         sign = np.array(np.broadcast_to(sign, ax.shape), dtype=np.int8)
-        flat_sign = sign.reshape(-1)
-        for i in np.flatnonzero(np.broadcast_to(uncertain, ax.shape).reshape(-1)):
-            flat_sign[i] = _orient2d_exact(
-                ax.reshape(-1)[i],
-                ay.reshape(-1)[i],
-                bx.reshape(-1)[i],
-                by.reshape(-1)[i],
-                cx.reshape(-1)[i],
-                cy.reshape(-1)[i],
-            )
+        u = np.flatnonzero(np.broadcast_to(uncertain, ax.shape).reshape(-1))
+        r = lambda a: a.reshape(-1)[u].astype(np.float64)
+        sign.reshape(-1)[u] = _orient2d_exact_batch(r(ax), r(ay), r(bx), r(by), r(cx), r(cy))
     return sign
 
 

@@ -130,6 +130,25 @@ def find_splits(x1, y1, x2, y2, grid: float):
     i, j = _candidate_pairs(x1, y1, x2, y2)
     if i.size == 0:
         return (np.empty(0, np.int64), np.empty(0, np.float64), np.empty(0, np.float64))
+
+    # endpoint-touch fast path: when the bbox overlap degenerates to a
+    # single point P and P is an endpoint of BOTH segments, the only
+    # possible intersection is P itself, which can never be a split
+    # point (snap.rs:146-151 excludes endpoints) — drop the pair before
+    # the exact predicates. This removes the bulk of the pairs in
+    # later ISR rounds (adjacent pieces of already-noded chains).
+    ox1 = np.maximum(np.minimum(x1[i], x2[i]), np.minimum(x1[j], x2[j]))
+    ox2 = np.minimum(np.maximum(x1[i], x2[i]), np.maximum(x1[j], x2[j]))
+    oy1 = np.maximum(np.minimum(y1[i], y2[i]), np.minimum(y1[j], y2[j]))
+    oy2 = np.minimum(np.maximum(y1[i], y2[i]), np.maximum(y1[j], y2[j]))
+    point_overlap = (ox1 == ox2) & (oy1 == oy2)
+    is_ep = lambda s, px, py: ((x1[s] == px) & (y1[s] == py)) | ((x2[s] == px) & (y2[s] == py))
+    skip = point_overlap & is_ep(i, ox1, oy1) & is_ep(j, ox1, oy1)
+    if np.any(skip):
+        i, j = i[~skip], j[~skip]
+    if i.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.float64), np.empty(0, np.float64))
+
     kind, ax, ay, bx, by = segment_intersections(
         x1[i], y1[i], x2[i], y2[i], x1[j], y1[j], x2[j], y2[j]
     )

@@ -148,70 +148,157 @@ def assemble_polygons(
     the shipped filter and GEOS's faces-only polygon counts (used for
     the grid/random benchmark oracles).
     """
-    shells: list[tuple[np.ndarray, np.ndarray]] = []
-    holes: list[tuple[np.ndarray, np.ndarray]] = []
-    for xs, ys in zip(ring_xs, ring_ys):
-        a = signed_area(xs, ys)
-        if abs(a) < 1e-9:
-            continue  # degenerate (polygonizer.rs:138-140)
-        if a > 0.0:
-            shells.append((xs, ys))
-        else:
-            holes.append((xs, ys))
+    n_rings = len(ring_xs)
+    if n_rings == 0:
+        return []
+
+    # --- vectorized per-ring area / bbox / centroid over flat ragged
+    # arrays (one reduceat pass instead of per-ring Python calls) ------
+    lens = np.fromiter((len(x) for x in ring_xs), dtype=np.int64, count=n_rings)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    fx = np.concatenate(ring_xs)
+    fy = np.concatenate(ring_ys)
+    # recentre each ring on its first vertex (precision; see signed_area)
+    fx0 = fx - np.repeat(fx[offs[:-1]], lens)
+    fy0 = fy - np.repeat(fy[offs[:-1]], lens)
+    cross = fx0[:-1] * fy0[1:] - fx0[1:] * fy0[:-1]
+    sumx = fx0[:-1] + fx0[1:]
+    sumy = fy0[:-1] + fy0[1:]
+    cross[offs[1:-1] - 1] = 0.0  # zero the wrap term between rings
+    areas = 0.5 * np.add.reduceat(cross, offs[:-1])
+    cxn = np.add.reduceat(sumx * cross, offs[:-1])
+    cyn = np.add.reduceat(sumy * cross, offs[:-1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cent_x = np.where(np.abs(areas) < 1e-300, 0.0, cxn / (6.0 * areas)) + fx[offs[:-1]]
+        cent_y = np.where(np.abs(areas) < 1e-300, 0.0, cyn / (6.0 * areas)) + fy[offs[:-1]]
+    bxs1 = np.minimum.reduceat(fx, offs[:-1])
+    bxs2 = np.maximum.reduceat(fx, offs[:-1])
+    bys1 = np.minimum.reduceat(fy, offs[:-1])
+    bys2 = np.maximum.reduceat(fy, offs[:-1])
+
+    keep = np.abs(areas) >= 1e-9  # degenerate filter (polygonizer.rs:138-140)
+    shell_ids = np.flatnonzero(keep & (areas > 0.0))
+    hole_ids = np.flatnonzero(keep & (areas < 0.0))
+    n_holes = hole_ids.size
+    s_area = np.abs(areas[shell_ids])
+    h_area = np.abs(areas[hole_ids])
 
     # --- hole promotion (polygonizer.rs:152-185) ----------------------
     # CW ring with no CCW twin (area within 1e-6 AND exactly equal
-    # bbox) becomes a shell, re-wound CCW. Group shells by exact bbox
-    # for O(1) twin lookup.
-    shell_area = [abs(signed_area(xs, ys)) for xs, ys in shells]
+    # bbox) becomes a shell, re-wound CCW. Exact-bbox hash groups give
+    # O(1) twin lookup (plain-float tuples, not numpy scalars).
+    sbt = (
+        np.stack([bxs1[shell_ids], bys1[shell_ids], bxs2[shell_ids], bys2[shell_ids]], 1).tolist()
+        if shell_ids.size
+        else []
+    )
+    hbt = (
+        np.stack([bxs1[hole_ids], bys1[hole_ids], bxs2[hole_ids], bys2[hole_ids]], 1).tolist()
+        if n_holes
+        else []
+    )
     by_bbox: dict = {}
-    for i, (xs, ys) in enumerate(shells):
-        by_bbox.setdefault(bbox(xs, ys), []).append(i)
-    for xs, ys in holes:
-        ha = abs(signed_area(xs, ys))
-        twins = by_bbox.get(bbox(xs, ys), ())
-        if not any(abs(shell_area[i] - ha) < 1e-6 for i in twins):
-            shells.append((xs[::-1].copy(), ys[::-1].copy()))  # re-wind CCW
-            shell_area.append(ha)
+    for i, b in enumerate(sbt):
+        by_bbox.setdefault(tuple(b), []).append(i)
+    s_area_l = s_area.tolist()
+    h_area_l = h_area.tolist()
+    promoted_from = [
+        k
+        for k, b in enumerate(hbt)
+        if not any(abs(s_area_l[i] - h_area_l[k]) < 1e-6 for i in by_bbox.get(tuple(b), ()))
+    ]
 
-    n_shells = len(shells)
+    n_shells = shell_ids.size + len(promoted_from)
     if n_shells == 0:
         return []
+    pf = np.asarray(promoted_from, dtype=np.int64)
 
-    sbx1 = np.array([np.min(xs) for xs, _ in shells])
-    sby1 = np.array([np.min(ys) for _, ys in shells])
-    sbx2 = np.array([np.max(xs) for xs, _ in shells])
-    sby2 = np.array([np.max(ys) for _, ys in shells])
-    s_area = np.asarray(shell_area)
+    def shell_ring(i: int):
+        """Ring coords of shell i (original or promoted re-wound CCW)."""
+        if i < shell_ids.size:
+            r = shell_ids[i]
+            return ring_xs[r], ring_ys[r]
+        r = hole_ids[promoted_from[i - shell_ids.size]]
+        return ring_xs[r][::-1], ring_ys[r][::-1]
+
+    def cat(a, b):
+        return np.concatenate([a, b]) if pf.size else a
+
+    all_shell_area = cat(s_area, h_area[pf])
+    sx1 = cat(bxs1[shell_ids], bxs1[hole_ids][pf])
+    sx2 = cat(bxs2[shell_ids], bxs2[hole_ids][pf])
+    sy1 = cat(bys1[shell_ids], bys1[hole_ids][pf])
+    sy2 = cat(bys2[shell_ids], bys2[hole_ids][pf])
+    shell_len = cat(lens[shell_ids], lens[hole_ids][pf])
+    shell_off = cat(offs[:-1][shell_ids], offs[:-1][hole_ids][pf])
 
     # --- hole assignment (polygonizer.rs:192-249) ---------------------
     shell_holes: list[list] = [[] for _ in range(n_shells)]
-    for xs, ys in holes:
-        hx1, hy1, hx2, hy2 = bbox(xs, ys)
-        cand = np.flatnonzero(
-            (sbx1 <= hx2) & (hx1 <= sbx2) & (sby1 <= hy2) & (hy1 <= sby2)
+    hole_area_sum = np.zeros(n_shells)
+    if n_holes and n_shells:
+        from .bboxjoin import bbox_join
+
+        si, hj = bbox_join(
+            sx1, sy1, sx2, sy2, bxs1[hole_ids], bys1[hole_ids], bxs2[hole_ids], bys2[hole_ids]
         )
-        if cand.size == 0:
-            continue
-        px, py = centroid(xs, ys)
-        ha = abs(signed_area(xs, ys))
-        best = -1
-        best_area = np.inf
-        for i in cand:
-            if s_area[i] > ha + 1e-6 and s_area[i] < best_area:
-                if point_in_ring(px, py, shells[i][0], shells[i][1]):
-                    best = int(i)
-                    best_area = float(s_area[i])
-        if best >= 0:
-            shell_holes[best].append((xs, ys))
+        # parent must be strictly larger (polygonizer.rs:226)
+        bigger = all_shell_area[si] > h_area[hj] + 1e-6
+        si, hj = si[bigger], hj[bigger]
+        if si.size:
+            # vectorized PIP of hole centroids vs candidate shells,
+            # grouped by shell ring length (pad-free gather), chunked
+            # so the (rows × L) temporaries stay cache-sized
+            probe_x = cent_x[hole_ids][hj]
+            probe_y = cent_y[hole_ids][hj]
+            inside = np.zeros(si.size, dtype=bool)
+            pair_len = shell_len[si]
+            for L in np.unique(pair_len):
+                sel_all = np.flatnonzero(pair_len == L)
+                step = max(int(2_000_000 // max(L, 1)), 64)
+                for s0 in range(0, sel_all.size, step):
+                    sel = sel_all[s0 : s0 + step]
+                    base = shell_off[si[sel]][:, None] + np.arange(L)[None, :]
+                    X = fx[base]
+                    Y = fy[base]
+                    # promoted shells are reversed rings — orientation
+                    # does not change even-odd crossings
+                    x1m, x2m = X[:, :-1], X[:, 1:]
+                    y1m, y2m = Y[:, :-1], Y[:, 1:]
+                    pyv = probe_y[sel][:, None]
+                    pxv = probe_x[sel][:, None]
+                    # division-free crossing test: px < xint(py)
+                    # ⇔ (px-x1)(y2-y1) <> (x2-x1)(py-y1) by sign of
+                    # (y2-y1); avoids div-by-zero NaN/inf slow paths on
+                    # axis-aligned edges
+                    straddle = (y1m > pyv) != (y2m > pyv)
+                    lhs = (pxv - x1m) * (y2m - y1m)
+                    rhs = (x2m - x1m) * (pyv - y1m)
+                    cross_m = straddle & ((lhs < rhs) == (y2m > y1m))
+                    crossings = np.count_nonzero(cross_m, axis=1)
+                    inside[sel] = (crossings % 2).astype(bool)
+            si, hj = si[inside], hj[inside]
+            if si.size:
+                # smallest containing shell per hole (argmin)
+                order = np.lexsort((all_shell_area[si], hj))
+                first = np.concatenate(([True], hj[order][1:] != hj[order][:-1]))
+                win_s = si[order][first]
+                win_h = hj[order][first]
+                np.add.at(hole_area_sum, win_s, h_area[win_h])
+                for s_i, h_j in zip(win_s.tolist(), win_h.tolist()):
+                    r = hole_ids[h_j]
+                    shell_holes[s_i].append((ring_xs[r], ring_ys[r]))
 
     # --- assembly (polygonizer.rs:251-259) ----------------------------
+    net_area = (all_shell_area - hole_area_sum).tolist()
     out: list[Polygon] = []
-    for i, (xs, ys) in enumerate(shells):
-        net = s_area[i] - sum(abs(signed_area(hx, hy)) for hx, hy in shell_holes[i])
+    for i in range(n_shells):
+        net = net_area[i]
         if drop_collapsed and net <= 1e-6:
             continue
-        out.append(Polygon(xs, ys, shell_holes[i], float(net)))
+        xs, ys = shell_ring(i)
+        out.append(
+            Polygon(np.ascontiguousarray(xs), np.ascontiguousarray(ys), shell_holes[i], net)
+        )
     return out
 
 

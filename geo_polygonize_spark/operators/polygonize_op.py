@@ -135,7 +135,10 @@ def _bbox_of_segments(segments: DataFrame) -> tuple[float, float, float, float]:
     return (r["bx0"], r["by0"], r["bx1"], r["by1"])
 
 
-def tiled_polygonize(
+TILE_KEY = ["tile_i", "tile_j", "f", "sub_i", "sub_j"]
+
+
+def prepare_tiled(
     lines_df: DataFrame,
     tile_size: float,
     buffer: float = 0.0,
@@ -144,12 +147,10 @@ def tiled_polygonize(
     drop_collapsed: bool = False,
     max_segments_per_tile: int | None = 200_000,
     max_split_factor: int = 16,
-) -> DataFrame:
-    """Distributed tiled polygonize (reference src/tiling.rs:35-125).
-
-    One shuffle (tile key) + one grouped-map Arrow UDF; optional
-    pre-shuffle skew split of hot tiles (see module docstring).
-    """
+):
+    """Build (assigned_segments_df, kernel) for tiled polygonize —
+    exposed so the checkpoint/resume layer can anti-join completed
+    tile keys between assignment and execution."""
     segments = segmentize_df(lines_df)
     if bbox is None:
         bbox = _bbox_of_segments(segments)
@@ -238,6 +239,32 @@ def tiled_polygonize(
                 keep.append(p)
         return _polygons_to_pdf(keep, tile_i, tile_j)
 
-    return assigned.groupBy("tile_i", "tile_j", "f", "sub_i", "sub_j").applyInPandas(
-        kernel, POLYGON_SCHEMA
+    return assigned, kernel
+
+
+def tiled_polygonize(
+    lines_df: DataFrame,
+    tile_size: float,
+    buffer: float = 0.0,
+    bbox: tuple[float, float, float, float] | None = None,
+    snap_grid: float = DEFAULT_SNAP_GRID,
+    drop_collapsed: bool = False,
+    max_segments_per_tile: int | None = 200_000,
+    max_split_factor: int = 16,
+) -> DataFrame:
+    """Distributed tiled polygonize (reference src/tiling.rs:35-125).
+
+    One shuffle (tile key) + one grouped-map Arrow UDF; optional
+    pre-shuffle skew split of hot tiles (see module docstring).
+    """
+    assigned, kernel = prepare_tiled(
+        lines_df,
+        tile_size,
+        buffer=buffer,
+        bbox=bbox,
+        snap_grid=snap_grid,
+        drop_collapsed=drop_collapsed,
+        max_segments_per_tile=max_segments_per_tile,
+        max_split_factor=max_split_factor,
     )
+    return assigned.groupBy(*TILE_KEY).applyInPandas(kernel, POLYGON_SCHEMA)

