@@ -401,6 +401,48 @@ def _q_image_pipeline(spark, sf_dir):
     )
 
 
+def _q_minhash_neardup(spark, sf_dir):
+    # training-data op: minhash-LSH near-dup detection; deterministic
+    # near-dups are synthesized by appending a token to each doc
+    from geo_polygonize_spark.operators.dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.concat("text", F.lit(" zz")).alias("text"))
+    pairs = minhash_lsh_dedup(d.unionByName(near), jaccard_threshold=0.7)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("jaccard"), 3).alias("avg_jaccard"),
+    )
+
+
+def _q_simhash_groups(spark, sf_dir):
+    # training-data op: simhash fingerprint dedup buckets
+    from geo_polygonize_spark.operators.dedup import simhash_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where("doc_id < 20").select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    out = simhash_dedup(d.unionByName(dup))
+    return out.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n_dupes") > 1, 1).otherwise(0)).alias("n_dup_buckets"),
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    # training-data op: LSH-bucketed ANN (scale path of ann_cosine)
+    import numpy as np
+
+    from geo_polygonize_spark.operators.ann import lsh_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qrows = e.where("vec_id IN (0, 3)").collect()
+    qs = [(int(r["vec_id"]), np.asarray(r["embedding"], np.float64)) for r in qrows]
+    return lsh_cosine_topk(e, qs, k=3, n_planes=10).select(
+        "query_id", "rank", "neighbor_id", F.round("cosine", 9).alias("cosine")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p3_p7_dedup_distinct": _q_dedup,
@@ -427,6 +469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_polygonize_nested_holes": _q_polygonize_fixture,
         "g_tiled_grid20": _q_tiled_grid,
         "ann_cosine_top5": _q_ann_cosine,
+        "ann_lsh_top3": _q_ann_lsh,
+        "doc_minhash_neardup": _q_minhash_neardup,
+        "doc_simhash_groups": _q_simhash_groups,
         "g_image_pipeline": _q_image_pipeline,
     }
 

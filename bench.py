@@ -63,6 +63,24 @@ def main() -> None:
         )
     images = spark.read.parquet(img_path)
 
+    # warmup: spin up codegen + python workers across all partitions so
+    # timed numbers aren't cold-start-skewed (workers import pandas
+    # lazily per process)
+    from pyspark.sql import functions as _F
+
+    _warm = spark.range(0, cpus * 20000, numPartitions=max(cpus * 2, 16)).select(
+        _F.format_string("img_%012d", "id").alias("image_id"),
+        _F.lit("c").alias("caption"),
+        _F.xxhash64("id").alias("phash"),
+        _F.lit("png").alias("fmt"),
+        _F.lit(32).alias("w"),
+        _F.lit(32).alias("h"),
+    )
+    _wl, _wly = grid_lines(10)
+    image_pipeline(
+        spark, _warm, lines_df(_wl, _wly), (0.0, 0.0, 10.0, 10.0), tile_size=5.0, buffer=1.5
+    ).count()
+
     # ---- reference workloads (grid / random polygonize) -------------
     gn = 100
     gx, gy = grid_lines(gn)

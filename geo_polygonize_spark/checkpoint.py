@@ -113,11 +113,17 @@ def resumable_tiled_polygonize(
             .parquet(metrics_path)
         )
     metrics_now.unpersist()
+    return read_checkpointed_coverage(spark, ckpt_dir)
 
-    latest = _latest_metrics(spark, metrics_path)
-    polys = spark.read.option("basePath", poly_path).parquet(f"{poly_path}/run_id=*")
-    # admit only the latest committed run per sub-tile (orphans from
-    # crashed runs and superseded fingerprints drop out here)
+
+def read_checkpointed_coverage(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """Latest committed polygon coverage from a checkpoint dir: admit
+    only each sub-tile's latest committed run (orphans from crashed
+    runs and superseded fingerprints drop out)."""
+    latest = _latest_metrics(spark, f"{ckpt_dir}/metrics")
+    polys = spark.read.option("basePath", f"{ckpt_dir}/polygons").parquet(
+        f"{ckpt_dir}/polygons/run_id=*"
+    )
     return polys.join(
         F.broadcast(latest.select(*TILE_KEY, "run_id")),
         on=TILE_KEY + ["run_id"],

@@ -1,0 +1,209 @@
+"""In-memory polygon coverage index for the broadcast PIP join.
+
+The numpy analog of the reference's shell R-tree + SIMD PIP probe
+(reference: ``src/polygonizer.rs:188-231``, ``src/utils/simd.rs``) —
+a uniform cell grid over polygon bboxes with CSR buckets, flat ring
+coordinate arrays, and a fully vectorized batched query:
+
+  cells → candidate (point, polygon) pairs → bbox filter →
+  length-grouped ray cast (shell, then holes of hits) →
+  smallest-area winner per point.
+
+Built once on the driver from the (bounded-size) polygon coverage and
+shipped to executors inside the Arrow UDF closure — the classic
+broadcast-side spatial join. The shuffle-based cell join remains in
+operators/spatial_join.py for coverages too large to broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class CoverageIndex:
+    def __init__(self, polys: list[dict], cell_size: float | None = None):
+        """polys: list of dicts with keys tile_i, tile_j, poly_id,
+        shell_xs, shell_ys, hole_xs, hole_ys, area (the POLYGON_SCHEMA
+        row layout)."""
+        n = len(polys)
+        self.n = n
+        self.tile_i = np.asarray([p["tile_i"] for p in polys], dtype=np.int32)
+        self.tile_j = np.asarray([p["tile_j"] for p in polys], dtype=np.int32)
+        self.poly_id = np.asarray([p["poly_id"] for p in polys], dtype=np.int64)
+        self.area = np.asarray([p["area"] for p in polys], dtype=np.float64)
+
+        shells_x = [np.asarray(p["shell_xs"], dtype=np.float64) for p in polys]
+        shells_y = [np.asarray(p["shell_ys"], dtype=np.float64) for p in polys]
+        self.slen = np.asarray([s.size for s in shells_x], dtype=np.int64)
+        self.soff = np.concatenate(([0], np.cumsum(self.slen)))
+        self.sx = np.concatenate(shells_x) if n else np.empty(0)
+        self.sy = np.concatenate(shells_y) if n else np.empty(0)
+
+        # holes: flat rings + per-poly ranges
+        hx_flat: list[np.ndarray] = []
+        hy_flat: list[np.ndarray] = []
+        hole_poly: list[int] = []
+        for i, p in enumerate(polys):
+            for hx, hy in zip(p["hole_xs"] or [], p["hole_ys"] or []):
+                hx_flat.append(np.asarray(hx, dtype=np.float64))
+                hy_flat.append(np.asarray(hy, dtype=np.float64))
+                hole_poly.append(i)
+        self.hole_poly = np.asarray(hole_poly, dtype=np.int64)
+        self.hlen = np.asarray([a.size for a in hx_flat], dtype=np.int64)
+        self.hoff = np.concatenate(([0], np.cumsum(self.hlen)))
+        self.hx = np.concatenate(hx_flat) if hx_flat else np.empty(0)
+        self.hy = np.concatenate(hy_flat) if hy_flat else np.empty(0)
+
+        # bboxes
+        if n:
+            self.bx1 = np.minimum.reduceat(self.sx, self.soff[:-1])
+            self.bx2 = np.maximum.reduceat(self.sx, self.soff[:-1])
+            self.by1 = np.minimum.reduceat(self.sy, self.soff[:-1])
+            self.by2 = np.maximum.reduceat(self.sy, self.soff[:-1])
+        else:
+            self.bx1 = self.bx2 = self.by1 = self.by2 = np.empty(0)
+
+        # cell grid (CSR buckets of polygon ids per covered cell)
+        if n:
+            self.gx0 = float(self.bx1.min())
+            self.gy0 = float(self.by1.min())
+            gx1 = float(self.bx2.max())
+            gy1 = float(self.by2.max())
+            span = max(gx1 - self.gx0, gy1 - self.gy0, 1e-300)
+            if cell_size is None:
+                med = float(np.median(np.maximum(self.bx2 - self.bx1, self.by2 - self.by1)))
+                cell_size = max(span / max(int(np.sqrt(n)), 1), med, span * 1e-9)
+            self.cell = float(cell_size)
+            self.ncols = int(np.floor((gx1 - self.gx0) / self.cell)) + 2
+            ci1 = np.floor((self.bx1 - self.gx0) / self.cell).astype(np.int64)
+            ci2 = np.floor((self.bx2 - self.gx0) / self.cell).astype(np.int64)
+            cj1 = np.floor((self.by1 - self.gy0) / self.cell).astype(np.int64)
+            cj2 = np.floor((self.by2 - self.gy0) / self.cell).astype(np.int64)
+            nx = ci2 - ci1 + 1
+            ncells = nx * (cj2 - cj1 + 1)
+            pid = np.repeat(np.arange(n, dtype=np.int64), ncells)
+            offs = np.concatenate(([0], np.cumsum(ncells)))
+            k = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], ncells)
+            di = k % np.repeat(nx, ncells)
+            dj = k // np.repeat(nx, ncells)
+            keys = (np.repeat(cj1, ncells) + dj) * self.ncols + np.repeat(ci1, ncells) + di
+            order = np.argsort(keys, kind="stable")
+            self.bucket_keys = keys[order]
+            self.bucket_polys = pid[order]
+        else:
+            self.cell = 1.0
+            self.gx0 = self.gy0 = 0.0
+            self.ncols = 1
+            self.bucket_keys = np.empty(0, np.int64)
+            self.bucket_polys = np.empty(0, np.int64)
+
+    # -- query ---------------------------------------------------------
+
+    def _ray_cast_pairs(self, px, py, ridx, flat_x, flat_y, off, length):
+        """Even-odd crossings for (point, ring) pairs, grouped by ring
+        length (division-free rule, see kernels/rings.py)."""
+        inside = np.zeros(ridx.size, dtype=bool)
+        pl = length[ridx]
+        for L in np.unique(pl):
+            sel_all = np.flatnonzero(pl == L)
+            step = max(int(4_000_000 // max(L, 1)), 64)
+            for s0 in range(0, sel_all.size, step):
+                sel = sel_all[s0 : s0 + step]
+                base = off[ridx[sel]][:, None] + np.arange(L)[None, :]
+                X = flat_x[base]
+                Y = flat_y[base]
+                x1, x2 = X[:, :-1], X[:, 1:]
+                y1, y2 = Y[:, :-1], Y[:, 1:]
+                pyv = py[sel][:, None]
+                pxv = px[sel][:, None]
+                straddle = (y1 > pyv) != (y2 > pyv)
+                lhs = (pxv - x1) * (y2 - y1)
+                rhs = (x2 - x1) * (pyv - y1)
+                crossings = np.count_nonzero(straddle & ((lhs < rhs) == (y2 > y1)), axis=1)
+                inside[sel] = (crossings % 2).astype(bool)
+        return inside
+
+    def query(self, px: np.ndarray, py: np.ndarray):
+        """Smallest containing polygon per point (even-odd incl. holes,
+        argmin by area — reference polygonizer.rs:200-249 semantics).
+
+        Returns (found, idx, n_containing): ``found`` bool per point,
+        ``idx`` index into the polygon arrays (valid where found),
+        ``n_containing`` count of containing polygons per point.
+        """
+        m = px.size
+        found = np.zeros(m, dtype=bool)
+        idx = np.zeros(m, dtype=np.int64)
+        ncont = np.zeros(m, dtype=np.int64)
+        if self.n == 0 or m == 0:
+            return found, idx, ncont
+
+        keys = (
+            np.floor((py - self.gy0) / self.cell).astype(np.int64) * self.ncols
+            + np.floor((px - self.gx0) / self.cell).astype(np.int64)
+        )
+        lo = np.searchsorted(self.bucket_keys, keys, side="left")
+        hi = np.searchsorted(self.bucket_keys, keys, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return found, idx, ncont
+        prow = np.repeat(np.arange(m, dtype=np.int64), cnt)
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+            + np.repeat(lo, cnt)
+        )
+        pcol = self.bucket_polys[pos]
+
+        # bbox filter
+        keep = (
+            (px[prow] >= self.bx1[pcol])
+            & (px[prow] <= self.bx2[pcol])
+            & (py[prow] >= self.by1[pcol])
+            & (py[prow] <= self.by2[pcol])
+        )
+        prow, pcol = prow[keep], pcol[keep]
+        if prow.size == 0:
+            return found, idx, ncont
+
+        # shell ray cast
+        inside = self._ray_cast_pairs(px[prow], py[prow], pcol, self.sx, self.sy, self.soff, self.slen)
+        prow, pcol = prow[inside], pcol[inside]
+        if prow.size and self.hole_poly.size:
+            # hole exclusion: pairs (point, hole ring) for polys with holes
+            has_holes = np.isin(pcol, self.hole_poly)
+            hp = np.flatnonzero(has_holes)
+            if hp.size:
+                # expand each (point, poly) to its hole rings
+                horder = np.argsort(self.hole_poly, kind="stable")
+                hsorted = self.hole_poly[horder]
+                h_lo = np.searchsorted(hsorted, pcol[hp], side="left")
+                h_hi = np.searchsorted(hsorted, pcol[hp], side="right")
+                h_cnt = h_hi - h_lo
+                tot = int(h_cnt.sum())
+                src = np.repeat(hp, h_cnt)
+                hpos = (
+                    np.arange(tot, dtype=np.int64)
+                    - np.repeat(np.concatenate(([0], np.cumsum(h_cnt)[:-1])), h_cnt)
+                    + np.repeat(h_lo, h_cnt)
+                )
+                hridx = horder[hpos]
+                in_hole = self._ray_cast_pairs(
+                    px[prow[src]], py[prow[src]], hridx, self.hx, self.hy, self.hoff, self.hlen
+                )
+                bad = np.zeros(prow.size, dtype=bool)
+                bad[src[in_hole]] = True
+                prow, pcol = prow[~bad], pcol[~bad]
+
+        if prow.size == 0:
+            return found, idx, ncont
+        np.add.at(ncont, prow, 1)
+        # smallest-area winner per point
+        order = np.lexsort((self.area[pcol], prow))
+        first = np.concatenate(([True], prow[order][1:] != prow[order][:-1]))
+        wrow = prow[order][first]
+        wcol = pcol[order][first]
+        found[wrow] = True
+        idx[wrow] = wcol
+        return found, idx, ncont

@@ -1,0 +1,195 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(``array<float>``) — training-data similarity operators.
+
+* ``cosine_topk_bruteforce`` — exact baseline: the query matrix is
+  numpy-broadcast into a map-only Arrow UDF (same shape as the kNN
+  centroid join); one pass over the table, top-k per query by cosine.
+* ``lsh_cosine_topk`` — scale path: random-hyperplane LSH (seeded,
+  deterministic) buckets the table; queries probe their bucket (+
+  multiprobe neighbors at Hamming distance 1), exact cosine refines
+  within candidates. Bucket assignment is a map; the candidate join is
+  a bucket-key equi-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def _topk_schema(k: int) -> T.StructType:
+    return T.StructType(
+        [
+            f
+            for i in range(k)
+            for f in (
+                T.StructField(f"nn{i}", T.LongType()),
+                T.StructField(f"cos{i}", T.DoubleType()),
+            )
+        ]
+    )
+
+
+def _explode_topk(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    ranked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("rank"),
+                    F.col(f"nn.nn{i}").alias("neighbor_id"),
+                    F.col(f"nn.cos{i}").alias("cosine"),
+                )
+                for i in range(k)
+            ]
+        )
+    )
+    return (
+        df.select(id_col, ranked.alias("r"))
+        .select(id_col, "r.rank", "r.neighbor_id", "r.cosine")
+        .where(F.col("neighbor_id") >= 0)
+    )
+
+
+def cosine_topk_bruteforce(
+    table: DataFrame,
+    queries: list[tuple[int, np.ndarray]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors in ``table`` for each query vector.
+
+    Output: (query_id, rank, neighbor_id, cosine). The query matrix is
+    tiny (rides in the UDF closure); the table streams through one
+    map-only pass, partial top-k per Arrow batch, final top-k via a
+    small groupBy over batch winners.
+    """
+    qids = np.asarray([q[0] for q in queries], dtype=np.int64)
+    qm = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        # mapInPandas: many rows in → few partial-top-k rows out
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            sims = V @ qm.T  # (batch, n_queries)
+            vid = pdf[id_col].to_numpy()
+            kk = min(k, V.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            nq = qm.shape[0]
+            rows = top.T.reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk),
+                    "neighbor_id": vid[rows],
+                    "cosine": sims[rows, np.repeat(np.arange(nq), kk)],
+                }
+            )
+
+    partials = table.select(id_col, vec_col).mapInPandas(score, out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        partials.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def hyperplane_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``bucket: long`` — random-hyperplane LSH signature (bit i =
+    sign of dot(v, plane_i)), planes seeded/deterministic. Arrow UDF,
+    map-only."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (V @ planes.T) > 0
+        vals = np.zeros(V.shape[0], dtype=np.int64)
+        for i in range(n_planes):
+            vals |= bits[:, i].astype(np.int64) << i
+        return pd.Series(vals)
+
+    return df.withColumn("bucket", bucket(vec_col))
+
+
+def lsh_cosine_topk(
+    table: DataFrame,
+    queries: list[tuple[int, np.ndarray]],
+    k: int = 5,
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: exact cosine within the query's bucket (plus
+    Hamming-1 probes). Output schema matches the brute-force baseline;
+    recall < 1 by construction — the candidate join prunes the table
+    to matching buckets, the scale lever is (n_planes, multiprobe)."""
+    dim = len(queries[0][1])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    # query buckets (+ multiprobe) computed driver-side: queries are few
+    probe_rows = []
+    for qid, qv in queries:
+        v = np.asarray(qv, dtype=np.float64)
+        base = 0
+        bits = (planes @ v) > 0
+        for i in range(n_planes):
+            base |= int(bits[i]) << i
+        buckets = {base}
+        if multiprobe:
+            for i in range(n_planes):
+                buckets.add(base ^ (1 << i))
+        for b in buckets:
+            probe_rows.append((int(qid), [float(x) for x in v], int(b)))
+    spark = table.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, qvec array<double>, bucket long"
+    )
+
+    bucketed = hyperplane_bucket(table, dim, n_planes, seed, vec_col)
+    cand = bucketed.join(F.broadcast(probes), "bucket")
+
+    dot = F.expr(
+        f"aggregate(zip_with({vec_col}, qvec, (a, b) -> cast(a as double) * b), 0D, (acc, x) -> acc + x)"
+    )
+    nv = F.expr(
+        f"sqrt(aggregate({vec_col}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    nq = F.expr("sqrt(aggregate(qvec, 0D, (acc, x) -> acc + x * x))")
+    scored = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), (dot / (nv * nq)).alias("cosine")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

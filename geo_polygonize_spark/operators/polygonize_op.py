@@ -210,6 +210,16 @@ def prepare_tiled(
         "sub_j", F.explode(F.sequence(sj_lo, sj_hi))
     )
 
+    # Explicit hash repartition on the tile key BEFORE the grouped-map
+    # UDF: a grouped-map's cost is per-group kernel CPU, not shuffle
+    # bytes, but AQE coalesces by bytes — a few MB of compressed
+    # segments collapse to ONE task and serialize the whole stage
+    # (observed: grid-400 polygonize = 31s single-task vs ~3s spread).
+    # groupBy reuses this exact hash partitioning, so no extra shuffle.
+    sess = lines_df.sparkSession
+    n_parts = max(int(sess.sparkContext.defaultParallelism) * 2, 16)
+    assigned = assigned.repartition(n_parts, *TILE_KEY)
+
     ts_py = float(tile_size)
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

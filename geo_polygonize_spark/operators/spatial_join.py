@@ -62,32 +62,37 @@ def polygon_cells(
 
 
 def _ray_cast_rows(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
-    """Fully vectorized per-row ray cast over a ragged batch of rings:
-    rings are NaN-padded to the batch max length — NaN comparisons are
-    False, so padded segments contribute no crossings. Identical
-    crossing rule to the reference SimdRing (simd.rs:31-79), batched
-    rows × segments instead of 4 SIMD lanes."""
+    """Fully vectorized per-row ray cast over a ragged batch of rings.
+    Rows are processed GROUPED BY RING LENGTH: the row coordinates of
+    each group concatenate into one dense (rows × L) matrix — no
+    padding, so one 400-vertex hull in a batch of 5-vertex cells does
+    not inflate every row to width 400. Identical crossing rule to the
+    reference SimdRing (simd.rs:31-79), division-free form."""
     n = len(rings)
     if n == 0:
         return np.zeros(0, dtype=bool)
     lens = np.fromiter((len(r[0]) for r in rings), dtype=np.int64, count=n)
-    lmax = int(lens.max())
-    X = np.full((n, lmax), np.nan)
-    Y = np.full((n, lmax), np.nan)
-    for i, (rx, ry) in enumerate(rings):
-        X[i, : lens[i]] = rx
-        Y[i, : lens[i]] = ry
-    x1, x2 = X[:, :-1], X[:, 1:]
-    y1, y2 = Y[:, :-1], Y[:, 1:]
-    pyv = py[:, None]
-    pxv = px[:, None]
-    # division-free crossing test (see kernels/rings.py); NaN padding
-    # still yields False comparisons
-    straddle = (y1 > pyv) != (y2 > pyv)
-    lhs = (pxv - x1) * (y2 - y1)
-    rhs = (x2 - x1) * (pyv - y1)
-    cross = straddle & ((lhs < rhs) == (y2 > y1))
-    return (np.count_nonzero(cross, axis=1) % 2).astype(bool)
+    out = np.zeros(n, dtype=bool)
+    for L in np.unique(lens):
+        sel = np.flatnonzero(lens == L)
+        step = max(int(4_000_000 // max(L, 1)), 64)
+        for s0 in range(0, sel.size, step):
+            rows = sel[s0 : s0 + step]
+            X = np.empty((rows.size, L))
+            Y = np.empty((rows.size, L))
+            for r, i in enumerate(rows):
+                X[r] = rings[i][0]
+                Y[r] = rings[i][1]
+            x1, x2 = X[:, :-1], X[:, 1:]
+            y1, y2 = Y[:, :-1], Y[:, 1:]
+            pyv = py[rows][:, None]
+            pxv = px[rows][:, None]
+            straddle = (y1 > pyv) != (y2 > pyv)
+            lhs = (pxv - x1) * (y2 - y1)
+            rhs = (x2 - x1) * (pyv - y1)
+            cross = straddle & ((lhs < rhs) == (y2 > y1))
+            out[rows] = (np.count_nonzero(cross, axis=1) % 2).astype(bool)
+    return out
 
 
 @F.pandas_udf(T.BooleanType())
@@ -128,6 +133,88 @@ def _pip_refine(
     return pd.Series(inside)
 
 
+def pip_join_broadcast(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "image_id",
+    rows: list | None = None,
+) -> DataFrame:
+    """Broadcast-side PIP join: the polygon coverage is collected once,
+    compiled into a numpy CoverageIndex (cell CSR + flat rings —
+    kernels/coverage.py), and captured by a single map-only Arrow UDF
+    that resolves candidates + exact PIP + smallest-area argmin per
+    batch. ZERO shuffles and no ring arrays on the wire — the right
+    plan whenever the coverage fits in executor memory (the shuffle
+    cell join below is the fallback for coverages that don't).
+    """
+    from ..kernels.coverage import CoverageIndex
+
+    if rows is None:
+        rows = [r.asDict() for r in polygons.collect()]
+    # ship via SparkContext.broadcast: the serialized index can be tens
+    # of MB, and a plain closure capture would ride inside the task
+    # command — re-sent by the driver FOR EVERY TASK (measured: a 34MB
+    # index × 64 tasks made the whole stage driver-transfer-bound and
+    # flat across core counts). A broadcast transfers once per executor
+    # and the closure only carries the handle.
+    bc = points.sparkSession.sparkContext.broadcast(CoverageIndex(rows))
+
+    schema = T.StructType(
+        [
+            T.StructField("found", T.BooleanType()),
+            T.StructField("p_tile_i", T.IntegerType()),
+            T.StructField("p_tile_j", T.IntegerType()),
+            T.StructField("p_poly_id", T.LongType()),
+            T.StructField("p_area", T.DoubleType()),
+            T.StructField("n_containing", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def probe(px: pd.Series, py: pd.Series) -> pd.DataFrame:
+        index = bc.value
+        n = len(px)
+        if index.n == 0:
+            # empty coverage: nothing contains anything (found by
+            # probing a dangle-only linework through the pipeline)
+            return pd.DataFrame(
+                {
+                    "found": np.zeros(n, dtype=bool),
+                    "p_tile_i": np.zeros(n, dtype=np.int32),
+                    "p_tile_j": np.zeros(n, dtype=np.int32),
+                    "p_poly_id": np.zeros(n, dtype=np.int64),
+                    "p_area": np.zeros(n, dtype=np.float64),
+                    "n_containing": np.zeros(n, dtype=np.int64),
+                }
+            )
+        x = px.to_numpy(dtype=np.float64)
+        y = py.to_numpy(dtype=np.float64)
+        found, idx, ncont = index.query(x, y)
+        return pd.DataFrame(
+            {
+                "found": found,
+                "p_tile_i": index.tile_i[idx],
+                "p_tile_j": index.tile_j[idx],
+                "p_poly_id": index.poly_id[idx],
+                "p_area": index.area[idx],
+                "n_containing": ncont,
+            }
+        )
+
+    # retain every input column (narrow payloads ride through the
+    # map-only join — no re-join shuffle needed for them)
+    return (
+        points.withColumn("_hit", probe("x", "y"))
+        .where(F.col("_hit.found"))
+        .withColumn("poly_tile_i", F.col("_hit.p_tile_i"))
+        .withColumn("poly_tile_j", F.col("_hit.p_tile_j"))
+        .withColumn("poly_id", F.col("_hit.p_poly_id"))
+        .withColumn("poly_area", F.col("_hit.p_area"))
+        .withColumn("n_containing", F.col("_hit.n_containing"))
+        .drop("_hit")
+    )
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -136,17 +223,24 @@ def pip_join(
     cell_size: float,
     point_id: str = "image_id",
     salt: int | None = None,
+    strategy: str = "cells",
+    rows: list | None = None,
 ) -> DataFrame:
-    """points(point_id, x, y, cell_i, cell_j ignored) × polygons →
-    one row per point with its smallest containing polygon (or none:
-    inner join semantics — points outside all coverage drop out).
+    """points(point_id, x, y) × polygons → one row per point with its
+    smallest containing polygon (or none: inner join semantics —
+    points outside all coverage drop out).
 
-    Points key to their cell with pure column arithmetic; the polygon
-    side is replicated per covered cell (and per salt bucket when
-    ``salt`` is set). Join is a plain equi-join Catalyst can plan
-    (broadcast if the polygon side is small, else shuffle-hash with
-    AQE skew splitting).
+    ``strategy="broadcast"`` → pip_join_broadcast (map-only; coverage
+    must fit in memory). ``strategy="cells"`` (this body) → cell-key
+    equi-join: points key to their cell with pure column arithmetic;
+    the polygon side is replicated per covered cell (and per salt
+    bucket when ``salt`` is set). Catalyst plans the equi-join
+    (broadcast-hash if the replicated polygon side is small, else
+    shuffle-hash with AQE skew splitting) — the scale path for
+    coverages too large to collect.
     """
+    if strategy == "broadcast":
+        return pip_join_broadcast(points, polygons, point_id=point_id, rows=rows)
     pc = polygon_cells(polygons, x0, y0, cell_size)
     pc = pc.select(
         "cell_i",
@@ -214,52 +308,87 @@ def knn_join(
     """k nearest centroids per point via numpy broadcast in an Arrow
     batch UDF — no shuffle; the centroid table (tile centroids: one
     per tile) rides into each task as a captured array.
-    Output: one row per (point, rank) with centroid id + distance."""
+
+    The UDF returns a STRUCT OF PRIMITIVE COLUMNS built directly from
+    numpy (id0/d0/id1/d1/...) — zero per-row Python objects — and the
+    (rank, id, dist) explosion happens JVM-side. (The first version
+    built a list-of-dicts per row; at 1M rows that Python churn made
+    the stage anti-scale.) Output: one row per (point, rank)."""
     ids = np.asarray([c[0] for c in centroids], dtype=np.int64)
     cxs = np.asarray([c[1] for c in centroids], dtype=np.float64)
     cys = np.asarray([c[2] for c in centroids], dtype=np.float64)
     kk = min(k, len(ids))
 
-    schema = T.ArrayType(
-        T.StructType(
-            [
-                T.StructField("rank", T.IntegerType()),
-                T.StructField("centroid_id", T.LongType()),
-                T.StructField("dist", T.DoubleType()),
-            ]
-        )
+    schema = T.StructType(
+        [f for i in range(kk) for f in (
+            T.StructField(f"id{i}", T.LongType()),
+            T.StructField(f"d{i}", T.DoubleType()),
+        )]
     )
 
     @F.pandas_udf(schema)
-    def topk(px: pd.Series, py: pd.Series) -> pd.Series:
+    def topk(px: pd.Series, py: pd.Series) -> pd.DataFrame:
         x = px.to_numpy()[:, None]
         y = py.to_numpy()[:, None]
         d2 = (x - cxs[None, :]) ** 2 + (y - cys[None, :]) ** 2
-        if kk < d2.shape[1]:
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-        else:
-            part = np.broadcast_to(np.arange(d2.shape[1]), (d2.shape[0], d2.shape[1])).copy()
-        rows = []
-        for r in range(d2.shape[0]):
-            cand = part[r]
-            order = cand[np.argsort(d2[r, cand], kind="stable")]
-            rows.append(
-                [
-                    {"rank": int(j), "centroid_id": int(ids[c]), "dist": float(np.sqrt(d2[r, c]))}
-                    for j, c in enumerate(order)
-                ]
-            )
-        return pd.Series(rows)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+        rows = np.arange(d2.shape[0])[:, None]
+        data = {}
+        for i in range(kk):
+            c = order[:, i]
+            data[f"id{i}"] = ids[c]
+            data[f"d{i}"] = np.sqrt(d2[rows[:, 0], c])
+        return pd.DataFrame(data)
 
-    return points.withColumn("knn", topk("x", "y")).select(
-        point_id, "x", "y", F.explode("knn").alias("nn")
-    ).select(
-        point_id,
-        "x",
-        "y",
-        F.col("nn.rank").alias("rank"),
-        F.col("nn.centroid_id").alias("centroid_id"),
-        F.col("nn.dist").alias("dist"),
+    nn = points.withColumn("nn", topk("x", "y"))
+    ranked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("rank"),
+                    F.col(f"nn.id{i}").alias("centroid_id"),
+                    F.col(f"nn.d{i}").alias("dist"),
+                )
+                for i in range(kk)
+            ]
+        )
+    )
+    return nn.select(point_id, "x", "y", ranked.alias("r")).select(
+        point_id, "x", "y", "r.rank", "r.centroid_id", "r.dist"
+    )
+
+
+def nearest_centroid_cols(
+    points: DataFrame,
+    centroids: list[tuple[int, float, float]],
+    prefix: str = "nearest_tile",
+) -> DataFrame:
+    """Nearest-centroid as inline columns (rank-0 of knn_join without
+    the explode + self-join) — the pipeline's hot path: map-only, no
+    shuffle, numpy broadcast in one Arrow batch UDF."""
+    ids = np.asarray([c[0] for c in centroids], dtype=np.int64)
+    cxs = np.asarray([c[1] for c in centroids], dtype=np.float64)
+    cys = np.asarray([c[2] for c in centroids], dtype=np.float64)
+
+    schema = T.StructType(
+        [T.StructField("nid", T.LongType()), T.StructField("nd", T.DoubleType())]
+    )
+
+    @F.pandas_udf(schema)
+    def nearest(px: pd.Series, py: pd.Series) -> pd.DataFrame:
+        x = px.to_numpy()[:, None]
+        y = py.to_numpy()[:, None]
+        d2 = (x - cxs[None, :]) ** 2 + (y - cys[None, :]) ** 2
+        c = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {"nid": ids[c], "nd": np.sqrt(d2[np.arange(d2.shape[0]), c])}
+        )
+
+    return (
+        points.withColumn("_nn", nearest("x", "y"))
+        .withColumn(prefix, F.col("_nn.nid"))
+        .withColumn(f"{prefix}_dist", F.col("_nn.nd"))
+        .drop("_nn")
     )
 
 

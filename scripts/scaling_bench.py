@@ -1,0 +1,211 @@
+"""Two-parallelism-level scaling evidence (north_rule: throughput
+scaling efficiency ≥ 0.8 from N to 4N executors; sandbox proxy:
+local[8] vs local[32], whole process tree pinned with taskset so the
+N-core run cannot borrow idle cores for its Python workers).
+
+Measures BOTH phases of the flagship job at each level:
+  * coverage phase — tiled polygonize of the linework (one shuffle +
+    grouped-map kernels); in production this runs once per coverage.
+  * streaming phase — records parquet → derived points → broadcast
+    PIP join → nearest-tile → raster assignment → count; in
+    production this is the 10^12-record side and dominates, so the
+    headline images/sec and efficiency come from it.
+
+Setup excluded from measurement: the record parquet (production reads
+records from storage; synthesizing ids with String.format inside the
+measured stage benchmarks the JVM allocator, not the pipeline) and a
+full-width warmup pass (python workers lazily import pandas; a cold
+worker per core would bill ~1.5 s of imports to the measured run).
+
+Usage: python scripts/scaling_bench.py [--n-records N] [--grid G]
+       [--cpus 8,32] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from geo_polygonize_spark.plans import build_session
+from geo_polygonize_spark.engine import image_pipeline
+from geo_polygonize_spark.operators.polygonize_op import tiled_polygonize
+from geo_polygonize_spark.sources.fixtures import grid_lines
+
+cpus = {cpus}
+n_records = {n_records}
+gn = {grid}
+spark = build_session("scaling", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+rec_path = f"/tmp/scaling_records_{{n_records}}.parquet"
+if not os.path.exists(rec_path):
+    spark.range(0, n_records, numPartitions=64).select(
+        F.format_string("img_%012d", "id").alias("image_id"),
+        F.concat(F.lit("caption for img "), F.col("id").cast("string")).alias("caption"),
+        F.xxhash64("id").alias("phash"),
+        F.lit("png").alias("fmt"), F.lit(32).alias("w"), F.lit(32).alias("h"),
+    ).write.mode("overwrite").parquet(rec_path)
+records = spark.read.parquet(rec_path)
+
+xs, ys = grid_lines(gn)
+lines = spark.createDataFrame(
+    [(i, [float(v) for v in x], [float(v) for v in y], "g") for i, (x, y) in enumerate(zip(xs, ys))],
+    "line_id long, xs array<double>, ys array<double>, dataset string",
+)
+bbox = (0.0, 0.0, float(gn), float(gn))
+ts = gn / 40.0
+
+# ---- phase 1: coverage scaling — tiled polygonize of a dense random
+# linework (per-tile numpy kernels dominate; {n_lines} segments →
+# ~900k faces at the default size)
+import numpy as np
+rng = np.random.default_rng(7)
+nl = {n_lines}
+pts = rng.uniform(0, 1000.0, size=(nl, 2))
+ang = rng.uniform(0, 2 * np.pi, nl)
+ln = rng.uniform(5, 25, nl)
+rnd_rows = [
+    (i, [float(pts[i, 0]), float(pts[i, 0] + ln[i] * np.cos(ang[i]))],
+     [float(pts[i, 1]), float(pts[i, 1] + ln[i] * np.sin(ang[i]))], "r")
+    for i in range(nl)
+]
+# linework read from parquet like production (a driver-side local
+# list would serialize from the driver INSIDE the measured job)
+rnd_path = f"/tmp/scaling_lines_{{nl}}.parquet"
+if not os.path.exists(rnd_path):
+    spark.createDataFrame(
+        rnd_rows, "line_id long, xs array<double>, ys array<double>, dataset string"
+    ).write.mode("overwrite").parquet(rnd_path)
+rnd_lines = spark.read.parquet(rnd_path)
+rnd_bbox = (0.0, 0.0, 1000.0, 1000.0)
+tiled_polygonize(rnd_lines.limit(3000), tile_size=100.0, buffer=30.0, bbox=rnd_bbox, drop_collapsed=True).count()
+t0 = time.time()
+n_cover = tiled_polygonize(rnd_lines, tile_size=100.0, buffer=30.0, bbox=rnd_bbox, drop_collapsed=True).count()
+cover_sec = time.time() - t0
+
+# ---- coverage for the streaming phase: grid linework (setup, untimed)
+polys = tiled_polygonize(lines, tile_size=ts, buffer=1.5, bbox=bbox, drop_collapsed=True)
+poly_rows = polys.toPandas().to_dict("records")
+
+# ---- phase 2: streaming (records vs prebuilt coverage)
+def job(recs):
+    return image_pipeline(
+        spark, recs, lines, bbox, tile_size=ts, buffer=1.5,
+        cell_size=max(ts / 8.0, 1.0), payload_rejoin=False, poly_rows=poly_rows,
+    ).count()
+
+warm = spark.range(0, cpus * 20000, numPartitions=max(cpus * 2, 16)).select(
+    F.format_string("img_%012d", "id").alias("image_id"),
+    F.lit("c").alias("caption"), F.xxhash64("id").alias("phash"),
+    F.lit("png").alias("fmt"), F.lit(32).alias("w"), F.lit(32).alias("h"))
+job(warm)
+
+t0 = time.time()
+n = job(records)
+stream_sec = time.time() - t0
+print(json.dumps({{"cpus": cpus, "cover_sec": cover_sec, "cover_polys": n_cover,
+                   "stream_sec": stream_sec, "rows": n,
+                   "records_per_sec": n_records / stream_sec}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, n_records: int, grid: int, n_lines: int) -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, n_records=n_records, grid=grid, n_lines=n_lines)
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-3000:])
+    return json.loads(lines[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-records", type=int, default=64_000_000)
+    ap.add_argument("--grid", type=int, default=400)
+    ap.add_argument("--n-lines", type=int, default=120_000)
+    ap.add_argument("--cpus", default="8,32")
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+    levels = [int(c) for c in args.cpus.split(",")]
+
+    results = [run_level(c, args.n_records, args.grid, args.n_lines) for c in levels]
+    lo, hi = results[0], results[-1]
+    ideal = hi["cpus"] / lo["cpus"]
+    stream_speedup = hi["records_per_sec"] / lo["records_per_sec"]
+    stream_eff = stream_speedup / ideal
+    cover_speedup = lo["cover_sec"] / hi["cover_sec"]
+    cover_eff = cover_speedup / ideal
+    summary = {
+        "workload": f"n_records={args.n_records} grid={args.grid}",
+        "levels": results,
+        "stream_speedup": round(stream_speedup, 3),
+        "stream_efficiency": round(stream_eff, 3),
+        "cover_speedup": round(cover_speedup, 3),
+        "cover_efficiency": round(cover_eff, 3),
+        "ideal": ideal,
+    }
+    print(json.dumps(summary, indent=2))
+
+    if args.write:
+        md = f"""# BENCH — scaling evidence (local[{lo['cpus']}] vs local[{hi['cpus']}])
+
+north_rule requires throughput scaling efficiency ≥ 0.8 from N to 4N
+executors; this sandbox has no real cluster, so per BASELINE.md the
+proxy is the identical job at two pinned local parallelism levels
+(`taskset 0-{{N-1}}`, fresh JVM per level, warmup excluded, same input).
+
+Workloads (`scripts/scaling_bench.py`), the flagship job's two
+production phases measured independently:
+
+**Streaming phase** — {args.n_records:,} image records vs the
+grid-{args.grid} polygonized coverage ({args.grid}² faces): records
+parquet → derived points → broadcast PIP join → nearest tile → raster
+→ count (payload bytes are projected out by the pipeline before any
+geometry stage):
+
+| parallelism | wall sec | records/sec |
+|---|---|---|
+| local[{lo['cpus']}] | {lo['stream_sec']:.2f} | {lo['records_per_sec']:.0f} |
+| local[{hi['cpus']}] | {hi['stream_sec']:.2f} | {hi['records_per_sec']:.0f} |
+
+speedup **{stream_speedup:.2f}×** of ideal {ideal:.0f}× → **scaling
+efficiency {stream_eff:.3f}**.
+
+**Coverage phase** — tiled polygonize (noding + graph + rings +
+assembly per tile) of {args.n_lines:,} random segments →
+{lo['cover_polys']:,} polygons (runs once per coverage in production):
+
+| parallelism | wall sec |
+|---|---|
+| local[{lo['cpus']}] | {lo['cover_sec']:.2f} |
+| local[{hi['cpus']}] | {hi['cover_sec']:.2f} |
+
+speedup **{cover_speedup:.2f}×** of ideal {ideal:.0f}× → **scaling
+efficiency {cover_eff:.3f}**.
+
+Local-mode caveats: one shared memory subsystem (a real cluster adds
+bandwidth per node, this box does not), and wall times under ~5 s are
+dominated by fixed per-stage latency. Reproduce:
+`python scripts/scaling_bench.py --write`.
+"""
+        with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+            f.write(md)
+        print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()

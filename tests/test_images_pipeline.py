@@ -112,6 +112,25 @@ class TestSpatialJoin:
         )
         assert a == b
 
+    def test_pip_broadcast_equals_cells(self, spark):
+        n = 8
+        xs, ys = grid_lines(n)
+        lines = lines_to_df(spark, xs, ys)
+        bbox = (0.0, 0.0, float(n), float(n))
+        # keep the hull (drop_collapsed=False) so holes exercise the
+        # broadcast index's hole-exclusion path
+        polys = tiled_polygonize(
+            lines, tile_size=8.0, buffer=2.0, bbox=bbox, drop_collapsed=False
+        ).cache()
+        images = synth_images(spark, 300)
+        pts = derive_points(images, bbox)
+        key = lambda r: (r["image_id"], r["poly_tile_i"], r["poly_tile_j"],
+                         r["poly_id"], round(r["poly_area"], 9), r["n_containing"])
+        a = sorted(key(r) for r in pip_join(pts, polys, 0.0, 0.0, 1.0).collect())
+        b = sorted(key(r) for r in pip_join(
+            pts, polys, 0.0, 0.0, 1.0, strategy="broadcast").collect())
+        assert a == b and len(a) > 0
+
     def test_knn_vs_bruteforce(self, spark):
         bbox = (0.0, 0.0, 10.0, 10.0)
         cents = tile_centroids(bbox, 2.5)

@@ -1,0 +1,120 @@
+"""Training-data operators: dedup (exact / minhash-LSH / simhash) and
+ANN (brute-force + LSH) over the testdata documents/embeddings."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geo_polygonize_spark.operators.ann import cosine_topk_bruteforce, lsh_cosine_topk
+from geo_polygonize_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    shingle_hashes,
+    simhash_dedup,
+    simhash64,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes(spark, docs):
+    # deterministic near-dups: copy of each doc with a single appended
+    # token, ids offset by 100000; exact dup of doc 0 at id 200000
+    near = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    exact = docs.where("doc_id = 0").select(
+        F.lit(200000).cast("long").alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(near).unionByName(exact).cache()
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs_with_dupes):
+        out = exact_dedup(docs_with_dupes).collect()
+        dupes = [r for r in out if r["n_dupes"] > 1]
+        assert len(dupes) == 1  # only doc 0 has an exact twin
+        assert dupes[0]["keeper"] == 0 and dupes[0]["n_dupes"] == 2
+
+    def test_minhash_lsh_finds_near_dupes(self, docs_with_dupes):
+        pairs = minhash_lsh_dedup(
+            docs_with_dupes, jaccard_threshold=0.7, num_hashes=64, bands=16
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        # every (doc, doc+100000) near-dup pair must be recalled
+        n_docs = docs_with_dupes.where("doc_id < 100000").count()
+        want = {(i, i + 100000) for i in range(n_docs)}
+        recalled = len(want & got) / len(want)
+        assert recalled >= 0.95, f"recall {recalled}"
+        # jaccard values are genuine (high for near-dups)
+        assert all(r["jaccard"] >= 0.7 for r in pairs)
+
+    def test_minhash_is_deterministic(self, docs_with_dupes):
+        a = sorted(map(tuple, minhash_lsh_dedup(docs_with_dupes).collect()))
+        b = sorted(map(tuple, minhash_lsh_dedup(docs_with_dupes).collect()))
+        assert a == b
+
+    def test_simhash_exact_bucket(self, docs_with_dupes):
+        out = simhash_dedup(docs_with_dupes).collect()
+        buckets = [r for r in out if r["n_dupes"] > 1]
+        assert any(r["keeper"] == 0 for r in buckets)  # exact dup shares simhash
+
+    def test_simhash_near_dup_hamming(self, spark, docs):
+        # a near-dup's simhash should be within a few bits
+        sh = simhash64(docs.select("doc_id", "text")).collect()
+        near = simhash64(
+            docs.select("doc_id", F.concat("text", F.lit(" zz")).alias("text"))
+        ).collect()
+        base = {r["doc_id"]: r["simhash"] for r in sh}
+        dists = [bin((base[r["doc_id"]] ^ r["simhash"]) & (2**64 - 1)).count("1") for r in near]
+        assert np.median(dists) <= 6
+
+    def test_ngram_jaccard_exact(self, spark, docs_with_dupes):
+        ids = spark.createDataFrame([(0, 200000), (0, 1)], "id_a long, id_b long")
+        out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs_with_dupes, ids).collect()}
+        assert out[(0, 200000)] == pytest.approx(1.0)  # exact dup
+        assert out[(0, 1)] < 0.9  # different docs
+
+
+class TestANN:
+    def test_bruteforce_matches_numpy(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+        rows = emb.collect()
+        mat = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+        ids = np.asarray([r["vec_id"] for r in rows])
+        q = [(int(ids[0]), mat[0]), (int(ids[7]), mat[7])]
+        got = cosine_topk_bruteforce(emb, q, k=5).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for qid, qv in q:
+            sims = matn @ (qv / np.linalg.norm(qv))
+            order = np.lexsort((ids, -sims))[:5]
+            mine = sorted(by_q[qid])
+            assert [int(ids[i]) for i in order] == [m[1] for m in mine]
+            np.testing.assert_allclose(
+                [float(sims[i]) for i in order], [m[2] for m in mine], rtol=1e-9
+            )
+
+    def test_lsh_recall_vs_bruteforce(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+        rows = emb.collect()
+        mat = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+        ids = [r["vec_id"] for r in rows]
+        q = [(int(ids[i]), mat[i]) for i in (0, 3, 11)]
+        bf = cosine_topk_bruteforce(emb, q, k=1).collect()
+        lsh = lsh_cosine_topk(emb, q, k=1, n_planes=10).collect()
+        bf1 = {r["query_id"]: r["neighbor_id"] for r in bf}
+        lsh1 = {r["query_id"]: r["neighbor_id"] for r in lsh}
+        # top-1 is the query itself (cos=1) and must survive LSH
+        # (identical vectors share every bucket)
+        assert all(lsh1[k] == bf1[k] for k in bf1)
