@@ -197,7 +197,7 @@ def _exact_resort(g, order, offsets, bad_nodes, quad, d2):
         order[lo:hi] = fan_sorted
 
 
-def prune_dangles(g: PlanarGraph) -> int:
+def prune_dangles(g: PlanarGraph, window: tuple | None = None) -> int:
     """Iterative degree-1 peeling to fixpoint
     (reference planar_graph.rs:426-472), vectorized by rounds.
 
@@ -205,7 +205,15 @@ def prune_dangles(g: PlanarGraph) -> int:
     edge and decrements the neighbor — the same fixpoint as the
     reference's worklist. Returns the number of edges removed, which
     equals the reference's processed-dangle count.
-    """
+
+    ``window`` (x1, y1, x2, y2): restrict peeling to dangle tips
+    INSIDE the window. Needed by the stitched per-tile kernel: a
+    degree-1 node outside the buffered window may only look like a
+    dangle because its other edges fall outside the tile's input —
+    pruning it would delete globally-real edges and let a spurious
+    ring hide inside the window (nodes inside the window have complete
+    fans, so their in-tile degree equals the global degree and peeling
+    them is always globally correct)."""
     if g.adj_de is None:
         raise RuntimeError("sort_edges must run before prune_dangles")
     adj = g.adj_de
@@ -214,8 +222,13 @@ def prune_dangles(g: PlanarGraph) -> int:
     removed = 0
     degree = g.degree
     marked = g.de_marked
+    if window is not None:
+        wx1, wy1, wx2, wy2 = window
+        in_window = (g.nx >= wx1) & (g.nx <= wx2) & (g.ny >= wy1) & (g.ny <= wy2)
+    else:
+        in_window = None
     while True:
-        d1 = np.flatnonzero(degree == 1)
+        d1 = np.flatnonzero((degree == 1) & in_window if in_window is not None else degree == 1)
         if d1.size == 0:
             break
         node_is_d1 = np.zeros(g.n_nodes, dtype=bool)

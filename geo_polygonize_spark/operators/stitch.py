@@ -1,0 +1,337 @@
+"""Multi-level stitched polygonize — rings across partition boundaries.
+
+This is the from-scratch distributed design the north_star asks for
+and the reference lacks: its TiledPolygonizer silently LOSES any
+polygon larger than tile+buffer (reference src/tiling.rs:66-106 —
+the centroid-owner tile never sees the full ring; SURVEY.md §3.3).
+
+Correctness argument (each step local and deterministic):
+
+1. A tile's input is every segment whose bbox intersects its buffered
+   window, noded on the GLOBAL snap grid. Within the window the
+   subgraph is complete: any segment incident to a node inside the
+   window touches the window, so it is present, and pairwise splits
+   between two segments inside the window involve co-present segments
+   — identical sub-segmentation in every tile that contains them.
+2. Therefore a traced ring that lies entirely inside the window
+   (ring bbox ⊆ window) follows globally-correct next-CCW successors
+   at every node → it IS a global ring. Conversely a spurious ring
+   (mis-traced from partial linework) must visit a node outside the
+   window, so its bbox escapes the window → the fit test rejects it.
+3. Levels: level k uses tile size ``tile_size · 2^k``. A ring is
+   emitted at level k by the tile owning its centroid iff it FITS that
+   tile's window at k and does NOT fit its owner's window at k-1.
+   Ownership cores partition the plane and the fit test is a pure
+   function of ring geometry + global grid constants, so every global
+   ring is emitted EXACTLY ONCE — at the first level big enough for
+   it. The top level is one tile covering the whole bbox, so nothing
+   is ever lost. (A defensive dropDuplicates on the canonical ring
+   hash backs the proof.)
+4. Assembly (classification → twin promotion → smallest-containing-
+   shell hole assignment → net-area filter, reference
+   polygonizer.rs:124-261) runs as DISTRIBUTED DataFrame ops over the
+   global ring set: exact-bbox anti-join for promotion, cell-key
+   equi-join + vectorized PIP for assignment, one group-aggregate for
+   the final polygons — no single-node step anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from ..functions.cells import cell_range_cols
+from ..kernels.polygonize import DEFAULT_SNAP_GRID, trace_rings
+from ..kernels.rings import canonicalize_ring
+from ..kernels.rings import centroid as ring_centroid
+from ..kernels.rings import signed_area
+from .polygonize_op import POLYGON_SCHEMA, _bbox_of_segments, segmentize_df
+from .spatial_join import _pip_refine
+
+RING_SCHEMA = T.StructType(
+    [
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+        T.StructField("area", T.DoubleType()),  # signed
+        T.StructField("bx1", T.DoubleType()),
+        T.StructField("by1", T.DoubleType()),
+        T.StructField("bx2", T.DoubleType()),
+        T.StructField("by2", T.DoubleType()),
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+        T.StructField("level", T.IntegerType()),
+    ]
+)
+
+
+def _fits(bx1, by1, bx2, by2, cx, cy, x0, y0, ts, buf):
+    """Does the ring fit the buffered window of its centroid-owner
+    tile on the (x0, y0)-anchored grid of size ts?"""
+    ti = np.floor((cx - x0) / ts)
+    tj = np.floor((cy - y0) / ts)
+    wx1 = x0 + ti * ts - buf
+    wx2 = x0 + (ti + 1) * ts + buf
+    wy1 = y0 + tj * ts - buf
+    wy2 = y0 + (tj + 1) * ts + buf
+    return (bx1 >= wx1) & (bx2 <= wx2) & (by1 >= wy1) & (by2 <= wy2)
+
+
+def stitched_polygonize(
+    lines_df: DataFrame,
+    tile_size: float,
+    buffer: float = 1.0,
+    bbox: tuple[float, float, float, float] | None = None,
+    snap_grid: float = DEFAULT_SNAP_GRID,
+    drop_collapsed: bool = False,
+) -> DataFrame:
+    """Exact distributed polygonize with no maximum polygon size.
+
+    Output matches the single-group ``polygonize`` exactly (same ring
+    set, same assembly semantics), but every stage is distributed.
+    """
+    segments = segmentize_df(lines_df)
+    if bbox is None:
+        bbox = _bbox_of_segments(segments)
+    x0, y0, x1g, y1g = (float(v) for v in bbox)
+    extent = max(x1g - x0, y1g - y0, tile_size)
+    n_levels = int(np.ceil(np.log2(max(extent / tile_size, 1.0)))) + 1
+
+    spark = lines_df.sparkSession
+    n_parts = max(int(spark.sparkContext.defaultParallelism) * 2, 16)
+
+    level_rings = []
+    for k in range(n_levels):
+        ts_k = tile_size * (2.0**k)
+        cols = max(int(np.ceil((x1g - x0) / ts_k)), 1)
+        rows = max(int(np.ceil((y1g - y0) / ts_k)), 1)
+
+        bx1 = F.least("x1", "x2")
+        bx2 = F.greatest("x1", "x2")
+        by1 = F.least("y1", "y2")
+        by2 = F.greatest("y1", "y2")
+        ts_l = F.lit(ts_k)
+        i_lo = F.greatest(F.ceil((bx1 - F.lit(x0 + buffer)) / ts_l - 1), F.lit(0)).cast("int")
+        i_hi = F.least(F.floor((bx2 - F.lit(x0 - buffer)) / ts_l), F.lit(cols - 1)).cast("int")
+        j_lo = F.greatest(F.ceil((by1 - F.lit(y0 + buffer)) / ts_l - 1), F.lit(0)).cast("int")
+        j_hi = F.least(F.floor((by2 - F.lit(y0 - buffer)) / ts_l), F.lit(rows - 1)).cast("int")
+        assigned = (
+            segments.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi)))
+            .withColumn("tile_j", F.explode(F.sequence(j_lo, j_hi)))
+            .repartition(n_parts, "tile_i", "tile_j")
+        )
+
+        kernel = _make_ring_kernel(x0, y0, float(ts_k), k, buffer, snap_grid)
+
+        level_rings.append(
+            assigned.groupBy("tile_i", "tile_j").applyInPandas(kernel, RING_SCHEMA)
+        )
+
+    rings = level_rings[0]
+    for df in level_rings[1:]:
+        rings = rings.unionByName(df)
+    # cross-level dedup: rings emit at EVERY level whose window they
+    # fit; the canonical rotation makes the coordinate arrays (hence
+    # the hash) identical, so one survives
+    rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).dropDuplicates(["rid"])
+
+    return assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)
+
+
+def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid):
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_i, tile_j = int(key[0]), int(key[1])
+        core_x0 = x0 + tile_i * ts_py
+        core_y0 = y0 + tile_j * ts_py
+        # prune only inside-window dangle tips (see graph.prune_dangles:
+        # outside-tip stubs must survive so affected rings escape the
+        # window and escalate instead of tracing spurious hulls)
+        rxs, rys = trace_rings(
+            pdf["x1"].to_numpy(),
+            pdf["y1"].to_numpy(),
+            pdf["x2"].to_numpy(),
+            pdf["y2"].to_numpy(),
+            node_input=True,
+            snap_grid=snap_grid,
+            prune_window=(
+                core_x0 - buffer,
+                core_y0 - buffer,
+                core_x0 + ts_py + buffer,
+                core_y0 + ts_py + buffer,
+            ),
+        )
+        out = {c: [] for c in ("xs", "ys", "area", "bx1", "by1", "bx2", "by2", "cx", "cy")}
+        win = (core_x0 - buffer, core_y0 - buffer, core_x0 + ts_py + buffer, core_y0 + ts_py + buffer)
+        for xs, ys in zip(rxs, rys):
+            # RAW fit test first: any trace polluted by the window edge
+            # (wrong turns or dangle detours at incomplete-fan nodes)
+            # necessarily visits an out-of-window node, so its raw bbox
+            # escapes and the ring escalates to a coarser level.
+            b = (float(np.min(xs)), float(np.min(ys)), float(np.max(xs)), float(np.max(ys)))
+            if not (b[0] >= win[0] and b[1] >= win[1] and b[2] <= win[2] and b[3] <= win[3]):
+                continue
+            a = signed_area(xs, ys)
+            if abs(a) < 1e-9:
+                continue  # degenerate (polygonizer.rs:138-140)
+            cx, cy = ring_centroid(xs, ys)
+            # owner? (cores partition the plane per level; cross-level
+            # duplicates are removed by the canonical ring hash)
+            if not (core_x0 <= cx < core_x0 + ts_py and core_y0 <= cy < core_y0 + ts_py):
+                continue
+            # canonical rotation → identical arrays (and hash) at every
+            # level that emits this ring
+            xs, ys = canonicalize_ring(xs, ys)
+            out["xs"].append(xs)
+            out["ys"].append(ys)
+            out["area"].append(float(a))
+            out["bx1"].append(b[0])
+            out["by1"].append(b[1])
+            out["bx2"].append(b[2])
+            out["by2"].append(b[3])
+            out["cx"].append(cx)
+            out["cy"].append(cy)
+        obj = lambda v: pd.Series(v, dtype=object)
+        return pd.DataFrame(
+            {
+                "xs": obj(out["xs"]),
+                "ys": obj(out["ys"]),
+                "area": np.asarray(out["area"], dtype=np.float64),
+                "bx1": np.asarray(out["bx1"], dtype=np.float64),
+                "by1": np.asarray(out["by1"], dtype=np.float64),
+                "bx2": np.asarray(out["bx2"], dtype=np.float64),
+                "by2": np.asarray(out["by2"], dtype=np.float64),
+                "cx": np.asarray(out["cx"], dtype=np.float64),
+                "cy": np.asarray(out["cy"], dtype=np.float64),
+                "level": np.full(len(out["area"]), level, dtype=np.int32),
+            }
+        )
+
+    return kernel
+
+
+def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -> DataFrame:
+    """Distributed assembly over a global ring set (the DataFrame
+    translation of kernels.rings.assemble_polygons; same semantics,
+    reference polygonizer.rs:124-261)."""
+    shells = rings.where("area > 0").select(
+        "rid", "xs", "ys", F.col("area").alias("s_area"), "bx1", "by1", "bx2", "by2", "cx", "cy"
+    )
+    holes = rings.where("area < 0").select(
+        F.col("rid").alias("h_rid"),
+        F.col("xs").alias("h_xs"),
+        F.col("ys").alias("h_ys"),
+        (-F.col("area")).alias("h_area"),
+        F.col("bx1").alias("hbx1"),
+        F.col("by1").alias("hby1"),
+        F.col("bx2").alias("hbx2"),
+        F.col("by2").alias("hby2"),
+        F.col("cx").alias("hcx"),
+        F.col("cy").alias("hcy"),
+    )
+
+    # --- promotion: CW ring with no CCW twin (exact bbox + ~area) ----
+    twins = (
+        holes.join(
+            shells.select("s_area", "bx1", "by1", "bx2", "by2"),
+            (F.col("hbx1") == F.col("bx1"))
+            & (F.col("hby1") == F.col("by1"))
+            & (F.col("hbx2") == F.col("bx2"))
+            & (F.col("hby2") == F.col("by2"))
+            & (F.abs(F.col("h_area") - F.col("s_area")) < 1e-6),
+            "left_semi",
+        )
+    ).select("h_rid")
+    promoted = holes.join(twins, "h_rid", "left_anti").select(
+        F.col("h_rid").alias("rid"),
+        F.reverse("h_xs").alias("xs"),  # re-wind CCW (polygonizer.rs:164-169)
+        F.reverse("h_ys").alias("ys"),
+        F.col("h_area").alias("s_area"),
+        F.col("hbx1").alias("bx1"),
+        F.col("hby1").alias("by1"),
+        F.col("hbx2").alias("bx2"),
+        F.col("hby2").alias("by2"),
+        F.col("hcx").alias("cx"),
+        F.col("hcy").alias("cy"),
+    )
+    all_shells = shells.unionByName(promoted)
+
+    # --- hole assignment: bbox cell-join + PIP(hole centroid) --------
+    # cell grid sized from the shell bbox distribution (driver-side agg
+    # of 4 scalars)
+    stats = all_shells.agg(
+        F.min("bx1").alias("gx0"),
+        F.min("by1").alias("gy0"),
+        F.max("bx2").alias("gx1"),
+        F.max("by2").alias("gy1"),
+        F.expr("percentile_approx(bx2 - bx1, 0.5)").alias("med"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        return rings.sparkSession.createDataFrame([], POLYGON_SCHEMA)
+    gx0, gy0 = float(stats["gx0"]), float(stats["gy0"])
+    span = max(float(stats["gx1"]) - gx0, float(stats["gy1"]) - gy0, 1e-300)
+    cell = max(span / max(int(np.sqrt(stats["n"])), 1), float(stats["med"] or 0.0), span * 1e-9)
+    n_cells = 1 << 20
+
+    sc = all_shells
+    ci1 = cell_range_cols(F.col("bx1"), gx0, cell, n_cells)
+    ci2 = cell_range_cols(F.col("bx2"), gx0, cell, n_cells)
+    cj1 = cell_range_cols(F.col("by1"), gy0, cell, n_cells)
+    cj2 = cell_range_cols(F.col("by2"), gy0, cell, n_cells)
+    shell_cells = sc.withColumn("cell_i", F.explode(F.sequence(ci1, ci2))).withColumn(
+        "cell_j", F.explode(F.sequence(cj1, cj2))
+    )
+    hole_pts = holes.withColumn("cell_i", cell_range_cols(F.col("hcx"), gx0, cell, n_cells)).withColumn(
+        "cell_j", cell_range_cols(F.col("hcy"), gy0, cell, n_cells)
+    )
+    cand = hole_pts.join(shell_cells, ["cell_i", "cell_j"]).where(
+        (F.col("hcx") >= F.col("bx1"))
+        & (F.col("hcx") <= F.col("bx2"))
+        & (F.col("hcy") >= F.col("by1"))
+        & (F.col("hcy") <= F.col("by2"))
+        & (F.col("s_area") > F.col("h_area") + 1e-6)  # polygonizer.rs:226
+    )
+    hit = cand.where(
+        _pip_refine(
+            "hcx", "hcy", "xs", "ys", F.array().cast("array<array<double>>"), F.array().cast("array<array<double>>")
+        )
+    )
+    assigned = (
+        hit.groupBy("h_rid")
+        .agg(
+            F.min_by(F.struct("rid"), "s_area").alias("best"),
+            F.first("h_xs").alias("h_xs"),
+            F.first("h_ys").alias("h_ys"),
+            F.first("h_area").alias("h_area"),
+        )
+        .select(F.col("best.rid").alias("rid"), "h_xs", "h_ys", "h_area")
+    )
+
+    hole_agg = assigned.groupBy("rid").agg(
+        F.collect_list("h_xs").alias("hole_xs"),
+        F.collect_list("h_ys").alias("hole_ys"),
+        F.sum("h_area").alias("holes_area"),
+        F.count("*").alias("n_holes"),
+    )
+
+    out = (
+        all_shells.join(hole_agg, "rid", "left")
+        .withColumn("holes_area", F.coalesce("holes_area", F.lit(0.0)))
+        .withColumn("n_holes", F.coalesce("n_holes", F.lit(0)).cast("int"))
+        .withColumn("net_area", F.col("s_area") - F.col("holes_area"))
+    )
+    if drop_collapsed:
+        out = out.where(F.col("net_area") > 1e-6)  # polygonizer.rs:255-258
+    return out.select(
+        F.lit(-2).cast("int").alias("tile_i"),  # stitched marker
+        F.lit(-2).cast("int").alias("tile_j"),
+        F.col("rid").alias("poly_id"),
+        F.col("xs").alias("shell_xs"),
+        F.col("ys").alias("shell_ys"),
+        F.coalesce("hole_xs", F.array().cast("array<array<double>>")).alias("hole_xs"),
+        F.coalesce("hole_ys", F.array().cast("array<array<double>>")).alias("hole_ys"),
+        "n_holes",
+        F.col("net_area").alias("area"),
+        "cx",
+        "cy",
+    )
