@@ -57,7 +57,6 @@ def entry(spark: SparkSession) -> DataFrame:
         bbox=(0.0, 0.0, float(n), float(n)),
         tile_size=8.0,
         buffer=1.5,
-        knn_k=3,
     )
     return out.select(
         "image_id",
@@ -429,6 +428,21 @@ def _q_simhash_groups(spark, sf_dir):
     )
 
 
+def _q_stitched_nested(spark, sf_dir):
+    # multi-level stitched polygonize: recovers the nested boxes that
+    # the reference-parity tiled path loses at tile 10 / buffer 2
+    from geo_polygonize_spark.operators.stitch import stitched_polygonize
+    from geo_polygonize_spark.sources.fixtures import fixture
+
+    xs, ys, _, _ = fixture("nested_holes")
+    lines = spark.createDataFrame(
+        [(i, [float(v) for v in x], [float(v) for v in y], "fx") for i, (x, y) in enumerate(zip(xs, ys))],
+        "line_id long, xs array<double>, ys array<double>, dataset string",
+    )
+    out = stitched_polygonize(lines, tile_size=10.0, buffer=2.0, bbox=(0.0, 0.0, 100.0, 100.0))
+    return out.select(F.round("area", 6).alias("area"), "n_holes").orderBy("area")
+
+
 def _q_ann_lsh(spark, sf_dir):
     # training-data op: LSH-bucketed ANN (scale path of ann_cosine)
     import numpy as np
@@ -468,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_running_sum": _q_running_sum,
         "g_polygonize_nested_holes": _q_polygonize_fixture,
         "g_tiled_grid20": _q_tiled_grid,
+        "g_stitched_nested_holes": _q_stitched_nested,
         "ann_cosine_top5": _q_ann_cosine,
         "ann_lsh_top3": _q_ann_lsh,
         "doc_minhash_neardup": _q_minhash_neardup,

@@ -106,6 +106,15 @@ def main() -> None:
         ).count(),
     )
 
+    from geo_polygonize_spark.operators.stitch import stitched_polygonize
+
+    timed(
+        "stitched_polygonize_grid100",
+        lambda: stitched_polygonize(
+            grid_df, tile_size=25.0, buffer=1.5, bbox=(0.0, 0.0, float(gn), float(gn)), drop_collapsed=True
+        ).count(),
+    )
+
     # ---- flagship: images/sec through the full pipeline -------------
     n = 50
     lx, ly = grid_lines(n)
@@ -114,7 +123,7 @@ def main() -> None:
 
     def run_pipeline():
         out = image_pipeline(
-            spark, images, cover_df, bbox, tile_size=10.0, buffer=1.5, knn_k=3
+            spark, images, cover_df, bbox, tile_size=10.0, buffer=1.5
         )
         return out.count()
 

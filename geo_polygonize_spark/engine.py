@@ -65,7 +65,6 @@ def image_pipeline(
     tile_size: float,
     buffer: float = 1.0,
     cell_size: float | None = None,
-    knn_k: int = 3,
     polygons: DataFrame | None = None,
     salt: int | None = None,
     drop_collapsed: bool = True,
