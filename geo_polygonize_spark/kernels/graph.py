@@ -289,7 +289,63 @@ def edge_rings(g: PlanarGraph):
     live = np.flatnonzero(~g.de_marked)
     succ[live] = next_ptr[live ^ 1]
 
-    visited = np.zeros(n_de, dtype=bool)
+    if live.size == 0:
+        return [], []
+    if np.any(succ[live] < 0):
+        # degenerate bookkeeping (should not happen for live edges) —
+        # fall back to the sequential chase
+        return _edge_rings_chase(g, succ, live)
+
+    # ``succ`` restricted to live edges is a permutation → extract all
+    # cycles with pointer-doubling list ranking (O(n log n) fully
+    # vectorized instead of an O(n) Python pointer chase):
+    #   rep[i]  = min edge id on i's cycle (== the chase's ring start)
+    #   rank[i] = distance from rep to i along succ
+    idx = live
+    pos = np.full(n_de, -1, dtype=np.int64)
+    pos[idx] = np.arange(idx.size)
+    nxt = pos[succ[idx]]  # permutation over 0..len(live)-1
+
+    rep = np.arange(idx.size)
+    jump = nxt.copy()
+    for _ in range(int(np.ceil(np.log2(max(idx.size, 2)))) + 1):
+        rep = np.minimum(rep, rep[jump])
+        jump = jump[jump]
+
+    # predecessor pointers; anchor each cycle at its representative
+    pred = np.empty(idx.size, dtype=np.int64)
+    pred[nxt] = np.arange(idx.size)
+    is_rep = rep == np.arange(idx.size)
+    ptr = pred.copy()
+    ptr[is_rep] = np.flatnonzero(is_rep)  # self-loop at anchors
+    rank = (~is_rep).astype(np.int64)
+    for _ in range(int(np.ceil(np.log2(max(idx.size, 2)))) + 1):
+        rank = rank + rank[ptr]
+        ptr = ptr[ptr]
+
+    order = np.lexsort((rank, rep))
+    des = idx[order]
+    reps = rep[order]
+    starts = np.flatnonzero(np.concatenate(([True], reps[1:] != reps[:-1])))
+    bounds = np.concatenate((starts, [des.size]))
+
+    ring_xs: list[np.ndarray] = []
+    ring_ys: list[np.ndarray] = []
+    src = g.de_src
+    dst = g.de_dst
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        ring_des = des[s:e]
+        nodes = np.empty(ring_des.size + 1, dtype=np.int64)
+        nodes[0] = src[ring_des[0]]
+        nodes[1:] = dst[ring_des]
+        ring_xs.append(g.nx[nodes])
+        ring_ys.append(g.ny[nodes])
+    return ring_xs, ring_ys
+
+
+def _edge_rings_chase(g: PlanarGraph, succ: np.ndarray, live: np.ndarray):
+    """Sequential fallback chase (original formulation)."""
+    visited = np.zeros(succ.size, dtype=bool)
     ring_xs: list[np.ndarray] = []
     ring_ys: list[np.ndarray] = []
     for start in live:

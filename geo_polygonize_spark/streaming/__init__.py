@@ -24,6 +24,7 @@ def streaming_polygonize(
     ckpt_dir: str,
     tile_size: float,
     trigger: str = "10 seconds",
+    available_now: bool = False,
     **polygonize_kwargs,
 ):
     """lines readStream → incremental polygon coverage.
@@ -46,12 +47,13 @@ def streaming_polygonize(
             spark, all_lines, ckpt_dir, tile_size, **polygonize_kwargs
         ).count()
 
-    return (
-        lines_stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", f"{ckpt_dir}/_stream_meta")
-        .trigger(processingTime=trigger)
-        .start()
+    w = lines_stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", f"{ckpt_dir}/_stream_meta"
     )
+    # availableNow: drain everything currently available then stop —
+    # deterministic for tests and batch-catchup runs
+    w = w.trigger(availableNow=True) if available_now else w.trigger(processingTime=trigger)
+    return w.start()
 
 
 def read_coverage(spark: SparkSession, ckpt_dir: str) -> DataFrame:
