@@ -85,3 +85,15 @@ def test_tiled_skew_split_matches_unsplit(spark):
     key = lambda r: (round(r["cx"], 9), round(r["cy"], 9), round(r["area"], 9))
     assert sorted(map(key, split)) == sorted(map(key, base))
     assert len(split) == n * n
+
+
+def test_segmentize_arrow_matches_codegen(spark):
+    # the mapInArrow GeoArrow-style path must equal the codegen path
+    from geo_polygonize_spark.operators.polygonize_op import segmentize_df
+    from geo_polygonize_spark.sources.arrow import segmentize_arrow
+
+    xs, ys = grid_lines(6)
+    df = lines_to_df(spark, xs, ys)
+    a = sorted(map(tuple, segmentize_df(df).collect()))
+    b = sorted(map(tuple, segmentize_arrow(df).collect()))
+    assert a == b and len(a) == 2 * 7  # 2(n+1) single-segment lines pre-noding
