@@ -73,7 +73,11 @@ def polygon_centroid(shell_xs, shell_ys, holes=()):
         num_x -= ah * chx
         num_y -= ah * chy
         den -= ah
-    if abs(den) < 1e-12:
+    # RELATIVE degeneracy test: for a shell fully filled by its holes
+    # the true den is 0 but FP leaves a ~1e-9 residual — dividing by it
+    # throws the centroid far outside the polygon (observed: a net-0
+    # hull reporting (-15, -46) for data in [0, 50]²)
+    if abs(den) < max(a0 * 1e-9, 1e-12):
         return cx0, cy0
     return num_x / den, num_y / den
 

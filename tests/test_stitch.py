@@ -28,12 +28,16 @@ def test_stitched_recovers_big_polygons(spark):
     lossy = tiled_polygonize(df, tile_size=10.0, buffer=2.0, bbox=bbox).collect()
     assert len(lossy) < 3  # demonstrates the flaw being fixed
 
-    got = stitched_polygonize(df, tile_size=10.0, buffer=2.0, bbox=bbox).collect()
-    want = polygonize(df, node_input=node, snap_grid=snap).collect()
-    assert sorted(round(r["area"], 6) for r in got) == [400.0, 3200.0, 6400.0]
-    assert keyset(got) == keyset(want)
-    donut = next(r for r in got if abs(r["area"] - 6400.0) < 1e-6)
-    assert donut["n_holes"] == 1
+    # pin BOTH assembly strategies (auto picks local at this size)
+    for assembly in ("local", "distributed"):
+        got = stitched_polygonize(
+            df, tile_size=10.0, buffer=2.0, bbox=bbox, assembly=assembly
+        ).collect()
+        want = polygonize(df, node_input=node, snap_grid=snap).collect()
+        assert sorted(round(r["area"], 6) for r in got) == [400.0, 3200.0, 6400.0]
+        assert keyset(got) == keyset(want)
+        donut = next(r for r in got if abs(r["area"] - 6400.0) < 1e-6)
+        assert donut["n_holes"] == 1
 
 
 def test_stitched_equals_global_on_grid(spark):
