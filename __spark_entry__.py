@@ -359,7 +359,10 @@ def _q_tiled_grid(spark, sf_dir):
 
 
 def _q_ann_cosine(spark, sf_dir):
-    # brute-force cosine top-1 neighbor of vec 0, JVM-side array math
+    # brute-force cosine top-5 neighbors of vec 0, JVM-side array math.
+    # cos is a LEFT FOLD over doubles — bit-identical to DuckDB's
+    # list_dot_product on DOUBLE[] (verified), so floor(cos*1e9) is an
+    # exact integer compare, no rounding-mode ambiguity.
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter("vec_id = 0").select(F.col("embedding").alias("qv"))
     dot = F.expr(
@@ -376,7 +379,7 @@ def _q_ann_cosine(spark, sf_dir):
         .select("vec_id", "label", (dot / (nrm * qnrm)).alias("cos"))
     )
     return scored.orderBy(F.desc("cos"), "vec_id").limit(5).select(
-        "vec_id", "label", F.round("cos", 9).alias("cos")
+        "vec_id", "label", F.floor(F.col("cos") * 1e9).cast("long").alias("cos_e9")
     )
 
 
@@ -400,32 +403,62 @@ def _q_image_pipeline(spark, sf_dir):
     )
 
 
+def _minhash_corpus(spark, sf_dir):
+    """Deterministic near-dup corpus: docs 0..99 plus a ' zz'-appended
+    twin at doc_id+1e6. The DuckDB oracle computes the EXACT-Jaccard
+    pair set over the same corpus; banded LSH recall against it is
+    verified empirically at sf0.01 (100 planted twins, all jaccard
+    ≥ 0.92, miss prob ≤ 3e-10) and sf0.001 (116 pairs incl. natural
+    near-dup chains) — both hash-match."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 100").select("doc_id", "text")
+    near = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    return d.unionByName(near)
+
+
 def _q_minhash_neardup(spark, sf_dir):
-    # training-data op: minhash-LSH near-dup detection; deterministic
-    # near-dups are synthesized by appending a token to each doc
+    # training-data op: minhash-LSH near-dup pair detection. jaccard =
+    # |∩|/|∪| of exact shingle-set sizes — the same two integers on
+    # both engines, so the double (and its floor*1e6) is bit-exact.
     from geo_polygonize_spark.operators.dedup import minhash_lsh_dedup
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    near = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
-                    F.concat("text", F.lit(" zz")).alias("text"))
-    pairs = minhash_lsh_dedup(d.unionByName(near), jaccard_threshold=0.7)
-    return pairs.agg(
-        F.count("*").alias("n_pairs"),
-        F.round(F.avg("jaccard"), 3).alias("avg_jaccard"),
+    pairs = minhash_lsh_dedup(_minhash_corpus(spark, sf_dir), jaccard_threshold=0.7)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6")
     )
 
 
+def _q_minhash_keepers(spark, sf_dir):
+    # connected-components keeper resolution over the near-dup graph
+    from geo_polygonize_spark.operators.dedup import minhash_dedup_keepers
+
+    return minhash_dedup_keepers(_minhash_corpus(spark, sf_dir), jaccard_threshold=0.7)
+
+
 def _q_simhash_groups(spark, sf_dir):
-    # training-data op: simhash fingerprint dedup buckets
+    # training-data op: simhash fingerprint dedup buckets. Portable
+    # hasher (base-131 shingles + 31-bit mixers): the DuckDB oracle
+    # recomputes the full simhash bit-identically, so the per-bucket
+    # rows are an exact end-to-end check of the operator.
     from geo_polygonize_spark.operators.dedup import simhash_dedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.where("doc_id < 20").select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    out = simhash_dedup(d.unionByName(dup))
-    return out.agg(
-        F.count("*").alias("n_buckets"),
-        F.sum(F.when(F.col("n_dupes") > 1, 1).otherwise(0)).alias("n_dup_buckets"),
-    )
+    return simhash_dedup(d.unionByName(dup), hasher="portable")
+
+
+def _q_simhash_near(spark, sf_dir):
+    # simhash hamming ≤ 3 near-dup pairs via 4-band LSH. Banding has
+    # pigeonhole-exact recall for k ≤ 3, so the DuckDB oracle (all-pairs
+    # bit_count(xor) over the same portable simhashes) matches by
+    # construction, not by luck.
+    from geo_polygonize_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents").where("doc_id < 150").select("doc_id", "text")
+    dup = d.where("doc_id < 30").select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return simhash_neardup_pairs(d.unionByName(dup), k=3, hasher="portable")
 
 
 def _q_stitched_nested(spark, sf_dir):
@@ -444,7 +477,13 @@ def _q_stitched_nested(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    # training-data op: LSH-bucketed ANN (scale path of ann_cosine)
+    # training-data op: LSH-bucketed ANN (scale path of ann_cosine).
+    # The DuckDB oracle replicates the WHOLE algorithm — hyperplane
+    # buckets (the seeded planes ride as literals), Hamming-1
+    # multiprobe, exact cosine, top-3 — so this checks LSH itself, not
+    # an unrelated ground truth. Sign margins of the 500×10 plane dots
+    # are ≥ 9e-5 vs ~1e-15 accumulation error: bucket bits are stable
+    # across summation orders.
     import numpy as np
 
     from geo_polygonize_spark.operators.ann import lsh_cosine_topk
@@ -453,7 +492,25 @@ def _q_ann_lsh(spark, sf_dir):
     qrows = e.where("vec_id IN (0, 3)").collect()
     qs = [(int(r["vec_id"]), np.asarray(r["embedding"], np.float64)) for r in qrows]
     return lsh_cosine_topk(e, qs, k=3, n_planes=10).select(
-        "query_id", "rank", "neighbor_id", F.round("cosine", 9).alias("cosine")
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
+    )
+
+
+def _q_ann_selfjoin(spark, sf_dir):
+    # corpus-vs-corpus ANN: every row is a query (bucket-keyed
+    # equi-self-join + multiprobe, no crossJoin). Oracle = the same
+    # algorithm in DuckDB SQL.
+    from geo_polygonize_spark.operators.ann import lsh_selfjoin_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_selfjoin_topk(e, k=2, n_planes=8, dim=64).select(
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
     )
 
 
@@ -485,10 +542,191 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_stitched_nested_holes": _q_stitched_nested,
         "ann_cosine_top5": _q_ann_cosine,
         "ann_lsh_top3": _q_ann_lsh,
+        "ann_selfjoin_top2": _q_ann_selfjoin,
         "doc_minhash_neardup": _q_minhash_neardup,
+        "doc_minhash_keepers": _q_minhash_keepers,
         "doc_simhash_groups": _q_simhash_groups,
+        "doc_simhash_near": _q_simhash_near,
         "g_image_pipeline": _q_image_pipeline,
     }
+
+
+# ---- DuckDB oracle generators for the LSH / portable-hash queries ---
+
+
+def _duck_planes(n_planes: int, dim: int = 64, seed: int = 42) -> list[str]:
+    """The SAME seeded hyperplanes the ann operators use, as exact
+    DOUBLE[] literals (repr round-trips doubles losslessly)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    return ["[" + ", ".join(repr(float(v)) for v in p) + "]::DOUBLE[]" for p in planes]
+
+
+def _duck_bucket(vec_expr: str, plane_literals: list[str]) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(CAST({vec_expr} AS DOUBLE[]), {p}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(plane_literals)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_DUCK_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+def _oracle_ann_lsh() -> str:
+    planes = _duck_planes(10)
+    probes = ["SELECT query_id, qv, qb AS pb FROM q"] + [
+        f"SELECT query_id, qv, xor(qb, {1 << i}) AS pb FROM q" for i in range(10)
+    ]
+    cos = _DUCK_COS.format(a="embedding", b="qv")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_duck_bucket('embedding', planes)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb FROM b WHERE vec_id IN (0, 3)),
+probes AS ({' UNION ALL '.join(probes)}),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qv, t.vec_id AS neighbor_id, t.embedding
+  FROM probes p JOIN b t ON t.bucket = p.pb
+),
+scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM cand),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) - 1 AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+       CAST(floor(cos * 1e9) AS BIGINT) AS cos_e9
+FROM ranked WHERE rnk < 3
+"""
+
+
+def _oracle_ann_selfjoin() -> str:
+    planes = _duck_planes(8)
+    probes = ["SELECT vec_id, embedding, bucket AS pb FROM b"] + [
+        f"SELECT vec_id, embedding, xor(bucket, {1 << i}) AS pb FROM b" for i in range(8)
+    ]
+    cos = _DUCK_COS.format(a="v", b="nvec")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_duck_bucket('embedding', planes)} AS bucket FROM embeddings),
+probes AS ({' UNION ALL '.join(probes)}),
+cand AS (
+  SELECT p.vec_id, p.embedding AS v, t.vec_id AS neighbor_id, t.embedding AS nvec
+  FROM probes p JOIN b t ON t.bucket = p.pb WHERE p.vec_id <> t.vec_id
+),
+scored AS (SELECT vec_id, neighbor_id, {cos} AS cos FROM cand),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) - 1 AS rnk
+  FROM scored
+)
+SELECT vec_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+       CAST(floor(cos * 1e9) AS BIGINT) AS cos_e9
+FROM ranked WHERE rnk < 2
+"""
+
+
+_DUCK_MINHASH_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text FROM documents WHERE doc_id < 100
+)"""
+
+
+def _oracle_minhash_pairs() -> str:
+    # expected pair set = ALL pairs with exact 5-gram jaccard >= 0.7
+    # (LSH recall 1 at the observed >=0.92 margins; verify removes FPs)
+    return f"""
+WITH {_DUCK_MINHASH_CORPUS},
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(length(lower(text)) - 4, 1) + 1),
+    i -> substr(lower(text), CAST(i AS INTEGER), 5))) AS s
+  FROM corpus
+),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(floor(jac * 1e6) AS BIGINT) AS jaccard_e6 FROM j WHERE jac >= 0.7
+"""
+
+
+def _oracle_minhash_keepers() -> str:
+    # connected components of the exact-Jaccard pair graph via
+    # recursive transitive closure (components are tiny dup clusters,
+    # so the closure stays small); keeper = min reachable id
+    return f"""
+WITH RECURSIVE {_DUCK_MINHASH_CORPUS},
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(length(lower(text)) - 4, 1) + 1),
+    i -> substr(lower(text), CAST(i AS INTEGER), 5))) AS s
+  FROM corpus
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src
+)
+SELECT c.doc_id, least(c.doc_id, coalesce(min(r.dst), c.doc_id)) AS keeper
+FROM corpus c LEFT JOIN reach r ON r.src = c.doc_id
+GROUP BY c.doc_id
+"""
+
+
+def _oracle_simhash_groups() -> str:
+    from geo_polygonize_spark.functions.portable_hash import (
+        PORTABLE_SIMHASH_BITS,
+        shingle_list_sql,
+        simhash_sql,
+    )
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+),
+sh AS (SELECT doc_id, {shingle_list_sql('text', 5, 'duckdb')} AS s FROM corpus),
+h AS (SELECT doc_id, {simhash_sql('s', PORTABLE_SIMHASH_BITS, engine='duckdb')} AS simhash FROM sh)
+SELECT simhash, min(doc_id) AS keeper, count(*) AS n_dupes FROM h GROUP BY simhash
+"""
+
+
+def _oracle_simhash_near() -> str:
+    from geo_polygonize_spark.functions.portable_hash import (
+        PORTABLE_SIMHASH_BITS,
+        shingle_list_sql,
+        simhash_sql,
+    )
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 30
+),
+sh AS (SELECT doc_id, {shingle_list_sql('text', 5, 'duckdb')} AS s FROM corpus),
+h AS (SELECT doc_id, {simhash_sql('s', PORTABLE_SIMHASH_BITS, engine='duckdb')} AS simhash FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -601,4 +839,44 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running FROM events"
         ),
+        # ---- geometry flagships: deterministic fixture outputs fixed
+        # by the reference (integration_tests.rs:25-42 nested holes →
+        # areas 6400/3200/400; bench_shapely.py grid semantics →
+        # 400 unit cells in grid 20 at tile 5/buffer 1.5)
+        "g_polygonize_nested_holes": (
+            "SELECT CAST(area AS DOUBLE) AS area, CAST(n_holes AS INTEGER) AS n_holes "
+            "FROM (VALUES (6400.0, 1), (3200.0, 1), (400.0, 0)) AS t(area, n_holes)"
+        ),
+        "g_stitched_nested_holes": (
+            "SELECT CAST(area AS DOUBLE) AS area, CAST(n_holes AS INTEGER) AS n_holes "
+            "FROM (VALUES (6400.0, 1), (3200.0, 1), (400.0, 0)) AS t(area, n_holes)"
+        ),
+        "g_tiled_grid20": (
+            "SELECT CAST(400 AS BIGINT) AS n_polys, CAST(400.0 AS DOUBLE) AS total_area"
+        ),
+        # deterministic synthetic rasters: synth_images(400) on a 10×10
+        # grid with 2×2 rasters — independent of sf_dir by construction
+        "g_image_pipeline": (
+            "SELECT CAST(raster_i AS INTEGER) AS raster_i, CAST(raster_j AS INTEGER) AS raster_j, "
+            "CAST(n_images AS BIGINT) AS n_images, CAST(n_tiles AS BIGINT) AS n_tiles "
+            "FROM (VALUES (0, 0, 95, 1), (0, 1, 94, 1), (1, 0, 111, 1), (1, 1, 100, 1)) "
+            "AS t(raster_i, raster_j, n_images, n_tiles)"
+        ),
+        # ---- ANN: exact brute force (cos folds are bit-identical
+        # across engines on DOUBLE[]) and full-algorithm LSH replicas
+        "ann_cosine_top5": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "s AS (SELECT vec_id, label, "
+            + _DUCK_COS.format(a="embedding", b="qv")
+            + " AS cos FROM embeddings, q WHERE vec_id <> 0) "
+            "SELECT vec_id, label, CAST(floor(cos * 1e9) AS BIGINT) AS cos_e9 "
+            "FROM s ORDER BY cos DESC, vec_id LIMIT 5"
+        ),
+        "ann_lsh_top3": _oracle_ann_lsh(),
+        "ann_selfjoin_top2": _oracle_ann_selfjoin(),
+        # ---- dedup: exact-Jaccard expected sets + portable-hash replicas
+        "doc_minhash_neardup": _oracle_minhash_pairs(),
+        "doc_minhash_keepers": _oracle_minhash_keepers(),
+        "doc_simhash_groups": _oracle_simhash_groups(),
+        "doc_simhash_near": _oracle_simhash_near(),
     }

@@ -44,7 +44,11 @@ class CoverageIndex:
         hy_flat: list[np.ndarray] = []
         hole_poly: list[int] = []
         for i, p in enumerate(polys):
-            for hx, hy in zip(p["hole_xs"] or [], p["hole_ys"] or []):
+            p_hx = p["hole_xs"]
+            p_hy = p["hole_ys"]
+            if p_hx is None or p_hy is None:
+                continue
+            for hx, hy in zip(p_hx, p_hy):
                 hx_flat.append(np.asarray(hx, dtype=np.float64))
                 hy_flat.append(np.asarray(hy, dtype=np.float64))
                 hole_poly.append(i)

@@ -9,6 +9,11 @@
   multiprobe neighbors at Hamming distance 1), exact cosine refines
   within candidates. Bucket assignment is a map; the candidate join is
   a bucket-key equi-join.
+* ``lsh_selfjoin_topk`` — corpus-vs-corpus: EVERY row is a query
+  (the table×table near-dup shape a curation pipeline needs at
+  100 TB). Bucket-keyed equi-self-join with Hamming-1 multiprobe on
+  the probe side — no crossJoin anywhere in the plan; candidate volume
+  = Σ_bucket |probe side| × |bucket|, tuned by n_planes.
 """
 
 from __future__ import annotations
@@ -192,4 +197,66 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w) - 1)
         .where(F.col("rank") < k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def lsh_selfjoin_topk(
+    table: DataFrame,
+    k: int = 2,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """All-rows-as-queries approximate top-k: for every row, its k most
+    cosine-similar OTHER rows among LSH candidates (same bucket, or
+    Hamming-1 bucket when ``multiprobe``). Output:
+    (id_col, rank, neighbor_id, cosine), rank 0-based; rows with no
+    candidate in their probe set emit nothing (recall < 1 by
+    construction — n_planes trades candidate volume for recall).
+
+    Plan shape: map (bucket assignment) → explode (≤ n_planes+1 probe
+    rows per vec) → bucket equi-join → codegen'd cosine fold → window
+    top-k. Embeddings cross the candidate shuffle once per side; there
+    is no crossJoin. A probe row's bucket values are distinct, so a
+    candidate pair arises from exactly one probe — no dedup needed.
+    """
+    if dim is None:
+        dim = len(table.select(vec_col).first()[0])
+    b = hyperplane_bucket(table, dim, n_planes, seed, vec_col)
+    if multiprobe:
+        probe_arr = F.array(
+            F.col("bucket"), *[F.expr(f"bucket ^ {1 << i}") for i in range(n_planes)]
+        )
+    else:
+        probe_arr = F.array(F.col("bucket"))
+    left = b.select(id_col, vec_col, F.explode(probe_arr).alias("pb"))
+    right = b.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        F.col("bucket").alias("pb"),
+    )
+    cand = left.join(right, "pb").where(F.col(id_col) != F.col("neighbor_id"))
+
+    dot = F.expr(
+        f"aggregate(zip_with({vec_col}, nvec, (a, b) -> cast(a as double) * cast(b as double)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    nv = F.expr(
+        f"sqrt(aggregate({vec_col}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    nn = F.expr(
+        "sqrt(aggregate(nvec, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    scored = cand.select(id_col, "neighbor_id", (dot / (nv * nn)).alias("cosine"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < k)
+        .select(id_col, "rank", "neighbor_id", "cosine")
     )

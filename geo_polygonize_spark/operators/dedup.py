@@ -7,10 +7,13 @@ shuffle-light, and deterministic (seeded hash families):
 
 * ``exact_dedup``          — content-hash groupBy, keep min id.
 * ``minhash_lsh_dedup``    — shingle → minhash signature → LSH bands →
-  band-bucket join → candidate pairs (+ optional exact-Jaccard
-  verify) → connected keepers via min-id union.
-* ``simhash_dedup``        — 64-bit simhash; exact-bucket grouping on
-  the hash with rotations for ≤k-bit differences (k ∈ {0..3}).
+  narrow band-bucket join (keys+ids only) → candidate pairs →
+  exact-Jaccard verify (shingles re-joined by id).
+* ``minhash_dedup_keepers``/``connected_keepers`` — min-id label
+  propagation over the pair graph → (doc_id, keeper) per document.
+* ``simhash_dedup``        — simhash exact-bucket grouping (hamming 0).
+* ``simhash_neardup_pairs`` — hamming ≤ k (k ≤ 3) via 4-band LSH with
+  pigeonhole-exact recall + bit_count verify.
 * ``ngram_jaccard_pairs``  — exact Jaccard over shingle sets for
   candidate pairs (the verify stage, also usable standalone).
 
@@ -80,35 +83,66 @@ def minhash_lsh_dedup(
     shingle_n: int = 5,
     seed: int = 42,
     jaccard_threshold: float | None = 0.8,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded minhash LSH.
 
     Returns (id_a, id_b, jaccard) for candidate pairs that share at
     least one LSH band bucket (and pass the exact-Jaccard threshold
     when set). rows_per_band = num_hashes // bands.
+
+    Scale design (100 TB):
+
+    * the band self-join carries ONLY ``(band_key, id)`` — shingle
+      arrays never ride the candidate shuffle; they re-join by id once
+      per side for the Jaccard verify, so each document's shingle set
+      crosses the wire exactly twice total, independent of how many
+      candidate pairs it appears in;
+    * degenerate band buckets (boilerplate/identical documents) are
+      quadratic if fully paired — buckets larger than ``max_bucket``
+      emit STAR candidates instead (bucket-min id × member, O(m) not
+      O(m²)). Exact for the identical-content buckets that cause mega
+      buckets in practice (every member verifies against the anchor and
+      the pair graph stays connected for keeper resolution); a lossy
+      approximation only when a >max_bucket bucket mixes documents that
+      are near-dups of each other but NOT of the anchor.
     """
     rows_per_band = num_hashes // bands
-    base = minhash_signature(shingle_hashes(df, text, shingle_n), num_hashes, seed)
-    base = base.select(id_col, "sig", "shingle_hashes")
+    shingled = shingle_hashes(df, text, shingle_n).select(id_col, "shingle_hashes")
+    base = minhash_signature(shingled, num_hashes, seed)
 
     # band keys: hash of each signature slice
     band_cols = [
         F.xxhash64(F.lit(bnd), *[F.col("sig")[bnd * rows_per_band + r] for r in range(rows_per_band)])
         for bnd in range(bands)
     ]
-    banded = base.withColumn("band_key", F.explode(F.array(*band_cols)))
+    banded = base.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("band_key")
+    )
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a"), "band_key"
+    # bucket stats: anchor (min id) + size, one narrow aggregate
+    buckets = banded.groupBy("band_key").agg(
+        F.min("_id").alias("_anchor"), F.count("*").alias("_bsz")
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b"), "band_key"
-    )
-    pairs = (
-        left.join(right, "band_key")
+    keyed = banded.join(buckets, "band_key")
+
+    small = keyed.where(F.col("_bsz") <= max_bucket)
+    cand_small = (
+        small.select(F.col("_id").alias("id_a"), "band_key")
+        .join(small.select(F.col("_id").alias("id_b"), "band_key"), "band_key")
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
     )
+    cand_big = (
+        keyed.where((F.col("_bsz") > max_bucket) & (F.col("_id") != F.col("_anchor")))
+        .select(F.col("_anchor").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    pairs = cand_small.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
+
+    # verify: re-join shingle sets by id (the only shuffle they cross)
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b"))
+    pairs = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     pairs = pairs.withColumn("jaccard", inter / union).select("id_a", "id_b", "jaccard")
@@ -117,10 +151,102 @@ def minhash_lsh_dedup(
     return pairs
 
 
-def simhash64(df: DataFrame, text: str = "text", shingle_n: int = 5) -> DataFrame:
-    """Adds ``simhash: long`` — 64-bit simhash over shingle hashes:
-    bit b of the result = majority vote of bit b across shingles.
-    Pure column arithmetic (64 aggregate expressions, codegen'd)."""
+def connected_keepers(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected-components keeper resolution over a near-dup pair
+    graph: every document maps to the MINIMUM id of its component
+    (``(doc_id, keeper)``; singletons keep themselves when ``all_ids``
+    supplies the full id universe).
+
+    Min-label propagation: each round every node takes
+    min(own label, neighbors' labels); converges in ≤ graph-diameter
+    rounds — near-dup components are tiny (dup clusters), so this is
+    2–4 rounds in practice. Convergence is detected with an exact
+    overflow-free checksum (count + bit_xor of xxhash64(id, label)),
+    one tiny aggregate per round.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    if all_ids is not None:
+        nodes = all_ids.select(F.col(id_col).alias("id")).distinct()
+    else:
+        nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id")).persist()
+
+    def checksum(lbl: DataFrame) -> tuple:
+        row = lbl.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("id", "label")).alias("x")
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    prev = checksum(labels)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        cur = checksum(new_labels)
+        labels.unpersist()
+        labels = new_labels
+        if cur == prev:
+            break
+        prev = cur
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("keeper"))
+
+
+def minhash_dedup_keepers(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", **lsh_kwargs
+) -> DataFrame:
+    """End-to-end near-dup dedup: minhash-LSH pairs → connected
+    components → ``(doc_id, keeper)`` for EVERY input document
+    (singletons keep themselves). The doc→keeper mapping a curation
+    pipeline filters on (keep rows where doc_id = keeper)."""
+    pairs = minhash_lsh_dedup(df, text, id_col, **lsh_kwargs)
+    return connected_keepers(pairs, all_ids=df, id_col=id_col)
+
+
+def simhash64(
+    df: DataFrame, text: str = "text", shingle_n: int = 5, hasher: str = "xxhash64"
+) -> DataFrame:
+    """Adds ``simhash: long`` — simhash over shingle hashes: bit b of
+    the result = majority vote of bit b across shingles. Pure column
+    arithmetic (one aggregate expression per bit, codegen'd).
+
+    ``hasher``: "xxhash64" (default, JVM-native, 64 bits) or
+    "portable" (62 bits; base-131 shingle codes + 31-bit linear
+    mixers from functions/portable_hash.py — bit-identical SQL exists
+    for DuckDB, which is how the driver's oracle replicates this
+    operator end to end)."""
+    if hasher == "portable":
+        from ..functions.portable_hash import (
+            PORTABLE_SIMHASH_BITS,
+            shingle_list_sql,
+            simhash_sql,
+        )
+
+        df = df.withColumn("shingle_hashes", F.expr(shingle_list_sql(text, shingle_n, "spark")))
+        return df.withColumn(
+            "simhash", F.expr(simhash_sql("shingle_hashes", PORTABLE_SIMHASH_BITS, engine="spark"))
+        ).drop("shingle_hashes")
+    if hasher != "xxhash64":
+        raise ValueError(f"hasher must be xxhash64|portable, got {hasher!r}")
     df = shingle_hashes(df, text, shingle_n)
     bits = []
     for b in range(64):
@@ -137,16 +263,64 @@ def simhash64(df: DataFrame, text: str = "text", shingle_n: int = 5) -> DataFram
 
 
 def simhash_dedup(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", shingle_n: int = 5
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Exact-simhash duplicate groups (hamming distance 0): one keeper
-    per simhash bucket. (Near-dup k-bit variants: band the 64 bits
-    into 4 × 16-bit keys and join — same shape as minhash LSH.)"""
+    per simhash bucket. Near-dup ≤k-bit variant: simhash_neardup_pairs."""
     return (
-        simhash64(df, text, shingle_n)
+        simhash64(df, text, shingle_n, hasher=hasher)
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_dupes"))
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    k: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance ≤ k (k ≤ 3), via
+    4-band LSH over the simhash bits: any two hashes differing in ≤ 3
+    bits agree on ≥ 1 of 4 disjoint bands (pigeonhole), so banding has
+    EXACT recall for k ≤ 3; ``bit_count(xor)`` verifies and removes
+    band false positives. Output: (id_a, id_b, hamming).
+
+    Scale shape = minhash band join: the self-join carries only
+    (band_key, id, simhash) — 24 bytes/row — and each band bucket is
+    an equi-join bucket, never an all-pairs scan."""
+    if not 0 <= k <= 3:
+        raise ValueError("4-band simhash LSH guarantees recall only for k <= 3")
+    n_bits = 62 if hasher == "portable" else 64
+    sim = simhash64(df, text, shingle_n, hasher=hasher).select(id_col, "simhash")
+    n_bands = 4
+    bounds = [round(i * n_bits / n_bands) for i in range(n_bands + 1)]
+    band_cols = []
+    for m in range(n_bands):
+        lo, width = bounds[m], bounds[m + 1] - bounds[m]
+        mask = (1 << width) - 1
+        # arithmetic shiftright then mask extracts bits [lo, lo+width)
+        # regardless of the sign bit
+        band_cols.append(
+            F.xxhash64(F.lit(m), F.shiftright("simhash", lo).bitwiseAND(F.lit(mask)))
+        )
+    banded = sim.select(id_col, "simhash", F.explode(F.array(*band_cols)).alias("band_key"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band_key")
+    pairs = (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")).cast("long"))
+        .where(F.col("hamming") <= k)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
 
 
 def ngram_jaccard_pairs(

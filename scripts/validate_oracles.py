@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 from geo_polygonize_spark.plans import build_session
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
