@@ -71,8 +71,20 @@ def resumable_tiled_polygonize(
             on=TILE_KEY + ["fingerprint"],
             how="left_anti",
         ).select(*TILE_KEY)
+        # stale keys: committed in the store but absent from the
+        # CURRENT assignment — a vanished tile, or a sub-tile layout
+        # superseded by a different skew-split factor f (a changed
+        # max_segments_per_tile or data growth). Without invalidation
+        # their polygons stay admitted NEXT TO the new layout's —
+        # silent duplication of the tile's coverage. Tombstone metrics
+        # rows (a newer run that wrote zero polygons for the key) make
+        # the latest-run admission drop them.
+        stale_keys = latest.select(*TILE_KEY).join(
+            metrics_now.select(*TILE_KEY), on=TILE_KEY, how="left_anti"
+        )
     else:
         pending_keys = metrics_now.select(*TILE_KEY)
+        stale_keys = None
 
     # polygon rows carry the FULL sub-tile group key so resume
     # admission is exact even when a single sub-tile recomputes
@@ -95,8 +107,8 @@ def resumable_tiled_polygonize(
         out["sub_j"] = int(key[4])
         return out
 
+    run_id = uuid.uuid4().hex
     if pending_keys.limit(1).count() > 0:
-        run_id = uuid.uuid4().hex
         pending = assigned.join(F.broadcast(pending_keys), TILE_KEY, "left_semi")
         polys = pending.groupBy(*TILE_KEY).applyInPandas(keyed_kernel, ckpt_schema)
         polys.write.mode("append").parquet(f"{poly_path}/run_id={run_id}")
@@ -112,6 +124,16 @@ def resumable_tiled_polygonize(
             .write.mode("append")
             .parquet(metrics_path)
         )
+    if stale_keys is not None and stale_keys.limit(1).count() > 0:
+        (
+            stale_keys.withColumn("n_segments", F.lit(0).cast("long"))
+            .withColumn("fingerprint", F.lit(0).cast("long"))
+            .withColumn("n_polys", F.lit(0).cast("long"))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("completed_at", F.lit(float(time.time())))
+            .write.mode("append")
+            .parquet(metrics_path)
+        )
     metrics_now.unpersist()
     return read_checkpointed_coverage(spark, ckpt_dir)
 
@@ -119,11 +141,18 @@ def resumable_tiled_polygonize(
 def read_checkpointed_coverage(spark: SparkSession, ckpt_dir: str) -> DataFrame:
     """Latest committed polygon coverage from a checkpoint dir: admit
     only each sub-tile's latest committed run (orphans from crashed
-    runs and superseded fingerprints drop out)."""
+    runs, superseded fingerprints, and tombstoned keys — vanished
+    tiles / replaced skew-split layouts — drop out). An empty or
+    not-yet-written checkpoint dir reads as an empty coverage."""
     latest = _latest_metrics(spark, f"{ckpt_dir}/metrics")
-    polys = spark.read.option("basePath", f"{ckpt_dir}/polygons").parquet(
-        f"{ckpt_dir}/polygons/run_id=*"
-    )
+    if latest is None:
+        return spark.createDataFrame([], POLYGON_SCHEMA)
+    try:
+        polys = spark.read.option("basePath", f"{ckpt_dir}/polygons").parquet(
+            f"{ckpt_dir}/polygons/run_id=*"
+        )
+    except Exception:
+        return spark.createDataFrame([], POLYGON_SCHEMA)
     return polys.join(
         F.broadcast(latest.select(*TILE_KEY, "run_id")),
         on=TILE_KEY + ["run_id"],

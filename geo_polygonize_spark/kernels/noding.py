@@ -89,28 +89,53 @@ def _candidate_pairs(x1, y1, x2, y2, max_pairs_per_cell: int = 4096):
     # group boundaries per cell
     starts = np.flatnonzero(np.concatenate(([True], ck[1:] != ck[:-1])))
     counts = np.diff(np.concatenate((starts, [ck.size])))
-    # all pairs within each cell, vectorized
-    big = counts > max_pairs_per_cell
-    if np.any(big):
-        # degenerate hot cell (everything overlapping everything):
-        # fall back to brute force for members of hot cells only
-        pass  # handled below by pair enumeration regardless; cap is advisory
-    npairs = counts * (counts - 1) // 2
+    # all pairs within each cell, vectorized; cells whose pair count
+    # exceeds max_pairs_per_cell (degenerate: thousands of segments
+    # sharing one bin) are excluded here and enumerated in bounded
+    # chunks below, so peak memory stays O(max_pairs_per_cell) instead
+    # of O(c²) for an adversarial hot cell
+    npairs_all = counts * (counts - 1) // 2
+    big = npairs_all > max_pairs_per_cell
+    npairs = np.where(big, 0, npairs_all)
+    keys = [np.empty(0, np.int64)]
     total = int(npairs.sum())
-    if total == 0:
+    if total > 0:
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs
+        )
+        c = np.repeat(counts, npairs).astype(np.int64)
+        # map linear pair index -> (a, b) with a < b inside the group
+        a = (c - 2 - np.floor(np.sqrt(-8.0 * within + 4.0 * c * (c - 1) - 7) / 2.0 - 0.5)).astype(np.int64)
+        b = (within + a + 1 - c * (c - 1) // 2 + (c - a) * ((c - a) - 1) // 2).astype(np.int64)
+        base = np.repeat(starts, npairs)
+        ii = si[base + a]
+        jj = si[base + b]
+        keys.append(np.minimum(ii, jj) * np.int64(n) + np.maximum(ii, jj))
+    for g in np.flatnonzero(big):
+        mem = si[starts[g] : starts[g] + counts[g]]
+        c_g = int(mem.size)
+        blk = max(int(max_pairs_per_cell // c_g), 1)
+        for s0 in range(0, c_g - 1, blk):
+            A = mem[s0 : s0 + blk]
+            B = mem[s0:]
+            # pair (A[r], B[k]) valid iff k > r (A is the slice head)
+            rel = (np.arange(B.size)[None, :] > np.arange(A.size)[:, None]).ravel()
+            aa = np.repeat(A, B.size)[rel]
+            bb = np.tile(B, A.size)[rel]
+            lo2 = np.minimum(aa, bb)
+            hi2 = np.maximum(aa, bb)
+            # bbox filter applied per chunk so only surviving pairs
+            # accumulate
+            k2 = (
+                (bx1[lo2] <= bx2[hi2])
+                & (bx1[hi2] <= bx2[lo2])
+                & (by1[lo2] <= by2[hi2])
+                & (by1[hi2] <= by2[lo2])
+            )
+            keys.append(lo2[k2] * np.int64(n) + hi2[k2])
+    uniq = np.unique(np.concatenate(keys))
+    if uniq.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    grp = np.repeat(np.arange(starts.size), npairs)
-    within = np.arange(total, dtype=np.int64) - np.repeat(np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs)
-    c = np.repeat(counts, npairs).astype(np.int64)
-    # map linear pair index -> (a, b) with a < b inside the group
-    a = (c - 2 - np.floor(np.sqrt(-8.0 * within + 4.0 * c * (c - 1) - 7) / 2.0 - 0.5)).astype(np.int64)
-    b = (within + a + 1 - c * (c - 1) // 2 + (c - a) * ((c - a) - 1) // 2).astype(np.int64)
-    base = np.repeat(starts, npairs)
-    ii = si[base + a]
-    jj = si[base + b]
-    lo = np.minimum(ii, jj)
-    hi = np.maximum(ii, jj)
-    uniq = np.unique(lo * np.int64(n) + hi)
     i = uniq // n
     j = uniq % n
     # exact bbox overlap filter (inclusive, like the R-tree envelopes)

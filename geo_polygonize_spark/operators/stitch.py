@@ -65,18 +65,6 @@ RING_SCHEMA = T.StructType(
 )
 
 
-def _fits(bx1, by1, bx2, by2, cx, cy, x0, y0, ts, buf):
-    """Does the ring fit the buffered window of its centroid-owner
-    tile on the (x0, y0)-anchored grid of size ts?"""
-    ti = np.floor((cx - x0) / ts)
-    tj = np.floor((cy - y0) / ts)
-    wx1 = x0 + ti * ts - buf
-    wx2 = x0 + (ti + 1) * ts + buf
-    wy1 = y0 + tj * ts - buf
-    wy2 = y0 + (tj + 1) * ts + buf
-    return (bx1 >= wx1) & (bx2 <= wx2) & (by1 >= wy1) & (by2 <= wy2)
-
-
 def stitched_polygonize(
     lines_df: DataFrame,
     tile_size: float,

@@ -216,3 +216,63 @@ class TestCheckpoint:
             spark, lines_full, ck, tile_size=5.0, buffer=1.5, bbox=bbox, drop_collapsed=True
         )
         assert out.count() == n * n
+
+    def test_resume_invalidates_superseded_split_layout(self, spark, tmp_path):
+        """Changing the skew-split factor between runs (here: a lower
+        max_segments_per_tile) must INVALIDATE the old f=1 sub-tile
+        keys — without tombstoning, both layouts' polygons stay
+        admitted and the tile's coverage silently doubles."""
+        from geo_polygonize_spark.checkpoint import resumable_tiled_polygonize
+
+        n = 10
+        xs, ys = grid_lines(n)
+        lines = lines_to_df(spark, xs, ys)
+        bbox = (0.0, 0.0, float(n), float(n))
+        ck = str(tmp_path / "ck3")
+        a = resumable_tiled_polygonize(
+            spark, lines, ck, tile_size=5.0, buffer=1.5, bbox=bbox, drop_collapsed=True
+        )
+        assert a.count() == n * n
+        # second run with a threshold low enough to split every tile
+        b = resumable_tiled_polygonize(
+            spark,
+            lines,
+            ck,
+            tile_size=5.0,
+            buffer=1.5,
+            bbox=bbox,
+            drop_collapsed=True,
+            max_segments_per_tile=10,
+        )
+        assert b.count() == n * n  # regression: was 2 * n * n
+
+    def test_resume_invalidates_vanished_tiles(self, spark, tmp_path):
+        """Shrinking the input (a tile's segments disappear entirely)
+        must drop that tile's stale polygons from the coverage."""
+        from geo_polygonize_spark.checkpoint import resumable_tiled_polygonize
+
+        n = 10
+        xs, ys = grid_lines(n)
+        lines_full = lines_to_df(spark, xs, ys)
+        # shrunken input: a 5×5 grid confined to [0,5]² — every tile
+        # outside it loses all segments
+        xs_h, ys_h = grid_lines(5)
+        lines_half = lines_to_df(spark, xs_h, ys_h)
+        bbox = (0.0, 0.0, float(n), float(n))
+        ck = str(tmp_path / "ck4")
+        resumable_tiled_polygonize(
+            spark, lines_full, ck, tile_size=5.0, buffer=1.5, bbox=bbox, drop_collapsed=True
+        ).count()
+        out = resumable_tiled_polygonize(
+            spark, lines_half, ck, tile_size=5.0, buffer=1.5, bbox=bbox, drop_collapsed=True
+        )
+        rows = out.collect()
+        assert len(rows) == 25
+        assert all(r["cx"] <= 5.0 and r["cy"] <= 5.0 for r in rows)
+
+    def test_read_empty_checkpoint_dir(self, spark, tmp_path):
+        from geo_polygonize_spark.checkpoint import read_checkpointed_coverage
+
+        cov = read_checkpointed_coverage(spark, str(tmp_path / "nope"))
+        assert cov.count() == 0
+        assert "shell_xs" in cov.columns

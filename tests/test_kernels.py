@@ -133,6 +133,29 @@ class TestNoding:
         assert x1.size == 2
 
 
+class TestCandidatePairs:
+    def test_hot_cell_chunked_fallback_equivalence(self):
+        """A degenerate cell (hundreds of mutually-overlapping segments
+        in one bin) must produce the SAME candidate pair set through
+        the chunked hot-cell path as through the vectorized path, with
+        bounded peak memory."""
+        from geo_polygonize_spark.kernels.noding import _candidate_pairs
+
+        rng = np.random.default_rng(0)
+        n = 300
+        # all segments cross the unit square center → one shared bin
+        x1 = rng.uniform(0.0, 0.4, n)
+        y1 = rng.uniform(0.0, 0.4, n)
+        x2 = rng.uniform(0.6, 1.0, n)
+        y2 = rng.uniform(0.6, 1.0, n)
+        i_big, j_big = _candidate_pairs(x1, y1, x2, y2, max_pairs_per_cell=10**9)
+        i_hot, j_hot = _candidate_pairs(x1, y1, x2, y2, max_pairs_per_cell=64)
+        big = set(zip(i_big.tolist(), j_big.tolist()))
+        hot = set(zip(i_hot.tolist(), j_hot.tolist()))
+        assert big == hot
+        assert len(big) > 0
+
+
 class TestGraph:
     def test_construction_counts(self):
         # reference src/graph/tests.rs:7-22 — two segments from origin
