@@ -122,6 +122,38 @@ def polygonize_segments(
     return assemble_polygons(ring_xs, ring_ys, drop_collapsed=drop_collapsed)
 
 
+def polygonize_segments_pdf(
+    x1,
+    y1,
+    x2,
+    y2,
+    node_input: bool = False,
+    snap_grid: float = DEFAULT_SNAP_GRID,
+    drop_collapsed: bool = False,
+    tile_i: int = -1,
+    tile_j: int = -1,
+):
+    """``polygonize_segments`` fused straight to the POLYGON_SCHEMA
+    pandas DataFrame (``rings.assemble_polygons_pdf``) — the Spark
+    kernels' path: no per-polygon Python objects between assembly and
+    Arrow."""
+    from .rings import assemble_polygons_pdf
+
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    if node_input and x1.size:
+        x1, y1, x2, y2 = node_segments(x1, y1, x2, y2, snap_grid)
+    if x1.size == 0:
+        return assemble_polygons_pdf([], [], drop_collapsed, tile_i, tile_j)
+    g = build_graph(x1, y1, x2, y2)
+    sort_edges(g)
+    prune_dangles(g)
+    ring_xs, ring_ys = edge_rings(g)
+    return assemble_polygons_pdf(ring_xs, ring_ys, drop_collapsed, tile_i, tile_j)
+
+
 def polygonize_lines(
     lines_xs: list,
     lines_ys: list,

@@ -86,6 +86,84 @@ def bbox(xs: np.ndarray, ys: np.ndarray):
     return float(np.min(xs)), float(np.min(ys)), float(np.max(xs)), float(np.max(ys))
 
 
+def batch_ring_stats(rxs: list, rys: list):
+    """Vectorized per-ring geometry for a BATCH of closed rings
+    (first == last): canonical rotation (start at the lexicographically
+    smallest vertex — same convention as ``canonicalize_ring``), bbox,
+    recentred shoelace area, and area-weighted centroid, all computed
+    with ``reduceat`` over flat arrays — no per-ring Python.
+
+    The stitched trace kernel processes every ring of every re-traced
+    level through this path; a per-ring loop here anti-scales (5+ numpy
+    calls × 10⁵ rings × levels measured as the dominant wall cost).
+
+    Determinism contract: two tiles tracing the same ring (different
+    rotation) get BIT-IDENTICAL outputs — rotation is normalized before
+    any accumulation, and every accumulation is reduceat (fixed order).
+
+    Returns (xr, yr, off, L, bx1, by1, bx2, by2, area, cx, cy):
+    ``xr, yr`` flat rotated OPEN rings, ring i at
+    ``xr[off[i] : off[i] + L[i]]``; close it by re-appending its first
+    point.
+    """
+    n = len(rxs)
+    if n == 0:
+        z = np.empty(0)
+        zi = np.empty(0, np.int64)
+        return z, z, zi, zi, z, z, z, z, z, z, z
+    lens = np.fromiter((len(r) for r in rxs), dtype=np.int64, count=n)
+    L = lens - 1  # open lengths
+    xc = np.concatenate(rxs)
+    yc = np.concatenate(rys)
+    occ = np.concatenate(([0], np.cumsum(lens)))
+    keep = np.ones(xc.size, dtype=bool)
+    keep[occ[1:] - 1] = False  # drop each ring's closing duplicate
+    xo = xc[keep]
+    yo = yc[keep]
+    off = np.concatenate(([0], np.cumsum(L)))
+    total = int(off[-1])
+    grp = np.repeat(np.arange(n, dtype=np.int64), L)
+
+    # canonical start: per-ring argmin of (x, y)
+    order = np.lexsort((yo, xo, grp))
+    grp_starts = off[:-1]
+    first_sorted = order[grp_starts]  # first element of each group
+    k = first_sorted - off[:-1]
+
+    # rotation gather: rel = (pos + k) mod L, built without division
+    pos = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], L)
+    rel = pos + np.repeat(k, L)
+    wrap = rel >= np.repeat(L, L)
+    rel[wrap] -= np.repeat(L, L)[wrap]
+    idx = np.repeat(off[:-1], L) + rel
+    xr = xo[idx]
+    yr = yo[idx]
+
+    # bbox (rotation-invariant)
+    bx1 = np.minimum.reduceat(xo, off[:-1])
+    by1 = np.minimum.reduceat(yo, off[:-1])
+    bx2 = np.maximum.reduceat(xo, off[:-1])
+    by2 = np.maximum.reduceat(yo, off[:-1])
+
+    # recentred shoelace on the ROTATED arrays (translation-invariant,
+    # cancellation-safe far from the origin — see signed_area)
+    nxt = np.arange(total, dtype=np.int64) + 1
+    nxt[off[1:] - 1] = off[:-1]
+    fx = np.repeat(xr[off[:-1]], L)
+    fy = np.repeat(yr[off[:-1]], L)
+    dx = xr - fx
+    dy = yr - fy
+    cross = dx * dy[nxt] - dx[nxt] * dy
+    area = 0.5 * np.add.reduceat(cross, off[:-1])
+
+    sx = np.add.reduceat((dx + dx[nxt]) * cross, off[:-1])
+    sy = np.add.reduceat((dy + dy[nxt]) * cross, off[:-1])
+    ok = np.abs(area) >= 1e-300
+    cx = np.where(ok, sx / np.where(ok, 6.0 * area, 1.0), 0.0) + xr[off[:-1]]
+    cy = np.where(ok, sy / np.where(ok, 6.0 * area, 1.0), 0.0) + yr[off[:-1]]
+    return xr, yr, off[:-1], L, bx1, by1, bx2, by2, area, cx, cy
+
+
 def point_in_ring(px: float, py: float, xs: np.ndarray, ys: np.ndarray) -> bool:
     """Even-odd ray cast, numpy-broadcast over all ring segments at
     once — the vectorized analog of SimdRing::contains (simd.rs:31-79),
@@ -123,6 +201,63 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarra
     return (crossings % 2).astype(bool)
 
 
+def _pip_many_vs_ring(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray):
+    """Even-odd containment of MANY probe points vs ONE closed ring,
+    via a y-bucketed edge index: a horizontal ray at ``py`` can only
+    cross edges whose y-span straddles ``py``, so each probe tests the
+    ~E/B edges of its bucket instead of all E. Turns the
+    hull-vs-all-holes assignment (the dominant assembly cost on grid
+    inputs: 10⁵ probes × 10⁵-vertex hull) from O(P·E) into
+    O(E + P·E/B). Identical crossing rule to the dense path."""
+    x1, y1 = xs[:-1], ys[:-1]
+    x2, y2 = xs[1:], ys[1:]
+    e = x1.size
+    ymin = np.minimum(y1, y2)
+    ymax = np.maximum(y1, y2)
+    ylo = float(ymin.min())
+    yhi = float(ymax.max())
+    nb = max(min(int(e // 16), 1 << 20), 1)
+    h = max((yhi - ylo) / nb, 1e-300)
+    b1 = np.clip(((ymin - ylo) / h).astype(np.int64), 0, nb - 1)
+    b2 = np.clip(((ymax - ylo) / h).astype(np.int64), 0, nb - 1)
+    cnt = b2 - b1 + 1
+    off = np.concatenate(([0], np.cumsum(cnt)))
+    eidx = np.repeat(np.arange(e, dtype=np.int64), cnt)
+    rel = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], cnt)
+    ebkt = np.repeat(b1, cnt) + rel
+    order_e = np.argsort(ebkt, kind="stable")
+    eidx_s = eidx[order_e]
+    estarts = np.searchsorted(ebkt[order_e], np.arange(nb + 1))
+
+    out = np.zeros(px.size, dtype=bool)
+    inb = (py >= ylo) & (py <= yhi)
+    pid = np.flatnonzero(inb)
+    if pid.size == 0:
+        return out
+    pb = np.clip(((py[pid] - ylo) / h).astype(np.int64), 0, nb - 1)
+    order_p = np.argsort(pb, kind="stable")
+    pid_s = pid[order_p]
+    pb_s = pb[order_p]
+    bstarts = np.flatnonzero(np.concatenate(([True], pb_s[1:] != pb_s[:-1])))
+    bends = np.concatenate((bstarts[1:], [pb_s.size]))
+    for s0, s1 in zip(bstarts.tolist(), bends.tolist()):
+        b = pb_s[s0]
+        es = eidx_s[estarts[b] : estarts[b + 1]]
+        if es.size == 0:
+            continue
+        rows = pid_s[s0:s1]
+        pxv = px[rows][:, None]
+        pyv = py[rows][:, None]
+        ex1, ey1 = x1[es][None, :], y1[es][None, :]
+        ex2, ey2 = x2[es][None, :], y2[es][None, :]
+        straddle = (ey1 > pyv) != (ey2 > pyv)
+        lhs = (pxv - ex1) * (ey2 - ey1)
+        rhs = (ex2 - ex1) * (pyv - ey1)
+        crossm = straddle & ((lhs < rhs) == (ey2 > ey1))
+        out[rows] = (np.count_nonzero(crossm, axis=1) % 2).astype(bool)
+    return out
+
+
 @dataclass
 class Polygon:
     shell_xs: np.ndarray
@@ -152,9 +287,57 @@ def assemble_polygons(
     the shipped filter and GEOS's faces-only polygon counts (used for
     the grid/random benchmark oracles).
     """
+    core = _assemble_core(ring_xs, ring_ys)
+    if core is None:
+        return []
+    (
+        shell_ids,
+        hole_ids,
+        pf,
+        all_shell_area,
+        hole_area_sum,
+        win_s,
+        win_h,
+        cent_x,
+        cent_y,
+        areas,
+    ) = core
+    n_orig = shell_ids.size
+    n_shells = n_orig + pf.size
+
+    shell_holes: list[list] = [[] for _ in range(n_shells)]
+    for s_i, h_j in zip(win_s.tolist(), win_h.tolist()):
+        r = hole_ids[h_j]
+        shell_holes[s_i].append((ring_xs[r], ring_ys[r]))
+
+    net_area = (all_shell_area - hole_area_sum).tolist()
+    out: list[Polygon] = []
+    for i in range(n_shells):
+        net = net_area[i]
+        if drop_collapsed and net <= 1e-6:
+            continue
+        if i < n_orig:
+            r = shell_ids[i]
+            xs, ys = ring_xs[r], ring_ys[r]
+        else:
+            r = hole_ids[pf[i - n_orig]]
+            xs, ys = ring_xs[r][::-1], ring_ys[r][::-1]
+        out.append(
+            Polygon(np.ascontiguousarray(xs), np.ascontiguousarray(ys), shell_holes[i], net)
+        )
+    return out
+
+
+def _assemble_core(ring_xs: list, ring_ys: list):
+    """Shared vectorized assembly core: classification, twin
+    promotion, and hole→shell winner assignment over flat ragged
+    arrays. Returns (shell_ids, hole_ids, pf, all_shell_area,
+    hole_area_sum, win_s, win_h, cent_x, cent_y, areas) or None for an
+    empty result — consumed by ``assemble_polygons`` (Polygon objects)
+    and ``assemble_polygons_pdf`` (Arrow-ready DataFrame)."""
     n_rings = len(ring_xs)
     if n_rings == 0:
-        return []
+        return None
 
     # --- vectorized per-ring area / bbox / centroid over flat ragged
     # arrays (one reduceat pass instead of per-ring Python calls) ------
@@ -214,16 +397,8 @@ def assemble_polygons(
 
     n_shells = shell_ids.size + len(promoted_from)
     if n_shells == 0:
-        return []
+        return None
     pf = np.asarray(promoted_from, dtype=np.int64)
-
-    def shell_ring(i: int):
-        """Ring coords of shell i (original or promoted re-wound CCW)."""
-        if i < shell_ids.size:
-            r = shell_ids[i]
-            return ring_xs[r], ring_ys[r]
-        r = hole_ids[promoted_from[i - shell_ids.size]]
-        return ring_xs[r][::-1], ring_ys[r][::-1]
 
     def cat(a, b):
         return np.concatenate([a, b]) if pf.size else a
@@ -237,8 +412,9 @@ def assemble_polygons(
     shell_off = cat(offs[:-1][shell_ids], offs[:-1][hole_ids][pf])
 
     # --- hole assignment (polygonizer.rs:192-249) ---------------------
-    shell_holes: list[list] = [[] for _ in range(n_shells)]
     hole_area_sum = np.zeros(n_shells)
+    win_s = np.empty(0, dtype=np.int64)
+    win_h = np.empty(0, dtype=np.int64)
     if n_holes and n_shells:
         from .bboxjoin import bbox_join
 
@@ -251,12 +427,29 @@ def assemble_polygons(
         if si.size:
             # vectorized PIP of hole centroids vs candidate shells,
             # grouped by shell ring length (pad-free gather), chunked
-            # so the (rows × L) temporaries stay cache-sized
+            # so the (rows × L) temporaries stay cache-sized. Shells
+            # whose (candidate count × ring length) is large — e.g. a
+            # grid hull probed by every cell — go through the
+            # y-bucketed edge index instead (O(E + P·E/B), not O(P·E)).
             probe_x = cent_x[hole_ids][hj]
             probe_y = cent_y[hole_ids][hj]
             inside = np.zeros(si.size, dtype=bool)
             pair_len = shell_len[si]
+
+            heavy_pairs = np.zeros(si.size, dtype=bool)
+            uq, ucount = np.unique(si, return_counts=True)
+            heavy_u = uq[(ucount * shell_len[uq]) > 4_000_000]
+            for u in heavy_u.tolist():
+                rows = np.flatnonzero(si == u)
+                heavy_pairs[rows] = True
+                o, l = shell_off[u], shell_len[u]
+                inside[rows] = _pip_many_vs_ring(
+                    probe_x[rows], probe_y[rows], fx[o : o + l], fy[o : o + l]
+                )
+            pair_len = np.where(heavy_pairs, -1, pair_len)
             for L in np.unique(pair_len):
+                if L < 0:
+                    continue
                 sel_all = np.flatnonzero(pair_len == L)
                 step = max(int(2_000_000 // max(L, 1)), 64)
                 for s0 in range(0, sel_all.size, step):
@@ -288,22 +481,156 @@ def assemble_polygons(
                 win_s = si[order][first]
                 win_h = hj[order][first]
                 np.add.at(hole_area_sum, win_s, h_area[win_h])
-                for s_i, h_j in zip(win_s.tolist(), win_h.tolist()):
-                    r = hole_ids[h_j]
-                    shell_holes[s_i].append((ring_xs[r], ring_ys[r]))
 
-    # --- assembly (polygonizer.rs:251-259) ----------------------------
-    net_area = (all_shell_area - hole_area_sum).tolist()
-    out: list[Polygon] = []
-    for i in range(n_shells):
-        net = net_area[i]
-        if drop_collapsed and net <= 1e-6:
-            continue
-        xs, ys = shell_ring(i)
-        out.append(
-            Polygon(np.ascontiguousarray(xs), np.ascontiguousarray(ys), shell_holes[i], net)
+    return (
+        shell_ids,
+        hole_ids,
+        pf,
+        all_shell_area,
+        hole_area_sum,
+        win_s,
+        win_h,
+        cent_x,
+        cent_y,
+        areas,
+    )
+
+
+def assemble_polygons_pdf(
+    ring_xs: list,
+    ring_ys: list,
+    drop_collapsed: bool = False,
+    tile_i: int = -1,
+    tile_j: int = -1,
+):
+    """``assemble_polygons`` fused straight into the POLYGON_SCHEMA
+    pandas DataFrame — no per-polygon ``Polygon`` objects and no
+    per-polygon ``polygon_centroid`` recomputation. At 160k rings the
+    object detour costs ~10 s of pure Python; this path is the one the
+    Spark kernels (tiled per-tile assembly, stitched local assembly)
+    use. Column semantics identical to
+    ``_polygons_to_pdf(assemble_polygons(...))`` (same formulas, same
+    degeneracy fallbacks).
+    """
+    import pandas as pd
+
+    cols = (
+        "tile_i",
+        "tile_j",
+        "poly_id",
+        "shell_xs",
+        "shell_ys",
+        "hole_xs",
+        "hole_ys",
+        "n_holes",
+        "area",
+        "cx",
+        "cy",
+    )
+
+    def empty():
+        return pd.DataFrame(
+            {
+                "tile_i": np.empty(0, np.int32),
+                "tile_j": np.empty(0, np.int32),
+                "poly_id": np.empty(0, np.int64),
+                "shell_xs": pd.Series([], dtype=object),
+                "shell_ys": pd.Series([], dtype=object),
+                "hole_xs": pd.Series([], dtype=object),
+                "hole_ys": pd.Series([], dtype=object),
+                "n_holes": np.empty(0, np.int32),
+                "area": np.empty(0, np.float64),
+                "cx": np.empty(0, np.float64),
+                "cy": np.empty(0, np.float64),
+            },
+            columns=list(cols),
         )
-    return out
+
+    core = _assemble_core(ring_xs, ring_ys)
+    if core is None:
+        return empty()
+    (
+        shell_ids,
+        hole_ids,
+        pf,
+        all_shell_area,
+        hole_area_sum,
+        win_s,
+        win_h,
+        cent_x,
+        cent_y,
+        areas,
+    ) = core
+    n_orig = shell_ids.size
+    n_shells = n_orig + pf.size
+
+    net_area = all_shell_area - hole_area_sum
+    keep = np.ones(n_shells, dtype=bool) if not drop_collapsed else (net_area > 1e-6)
+
+    # polygon centroid (area-weighted shell − holes; polygon_centroid
+    # semantics incl. the RELATIVE degeneracy fallback), vectorized
+    src = np.concatenate((shell_ids, hole_ids[pf])) if pf.size else shell_ids
+    cx0 = cent_x[src]
+    cy0 = cent_y[src]
+    num_x = all_shell_area * cx0
+    num_y = all_shell_area * cy0
+    if win_s.size:
+        h_abs = np.abs(areas[hole_ids[win_h]])
+        np.add.at(num_x, win_s, -h_abs * cent_x[hole_ids[win_h]])
+        np.add.at(num_y, win_s, -h_abs * cent_y[hole_ids[win_h]])
+    den = all_shell_area - hole_area_sum
+    degen = np.abs(den) < np.maximum(all_shell_area * 1e-9, 1e-12)
+    safe = np.where(degen, 1.0, den)
+    cx = np.where(degen, cx0, num_x / safe)
+    cy = np.where(degen, cy0, num_y / safe)
+
+    sel = np.flatnonzero(keep)
+    if sel.size == 0:
+        return empty()
+    # remap winner pairs to kept-shell output positions
+    out_pos = np.full(n_shells, -1, dtype=np.int64)
+    out_pos[sel] = np.arange(sel.size)
+
+    shell_x_col: list = [None] * sel.size
+    shell_y_col: list = [None] * sel.size
+    hole_x_col: list = [[] for _ in range(sel.size)]
+    hole_y_col: list = [[] for _ in range(sel.size)]
+    n_holes_out = np.zeros(sel.size, dtype=np.int32)
+    for o, i in enumerate(sel.tolist()):
+        if i < n_orig:
+            r = shell_ids[i]
+            shell_x_col[o] = ring_xs[r]
+            shell_y_col[o] = ring_ys[r]
+        else:
+            r = hole_ids[pf[i - n_orig]]
+            shell_x_col[o] = np.ascontiguousarray(ring_xs[r][::-1])
+            shell_y_col[o] = np.ascontiguousarray(ring_ys[r][::-1])
+    for s_i, h_j in zip(win_s.tolist(), win_h.tolist()):
+        o = out_pos[s_i]
+        if o < 0:
+            continue
+        r = hole_ids[h_j]
+        hole_x_col[o].append(ring_xs[r])
+        hole_y_col[o].append(ring_ys[r])
+        n_holes_out[o] += 1
+
+    obj = lambda v: pd.Series(v, dtype=object)
+    return pd.DataFrame(
+        {
+            "tile_i": np.full(sel.size, tile_i, dtype=np.int32),
+            "tile_j": np.full(sel.size, tile_j, dtype=np.int32),
+            "poly_id": np.arange(sel.size, dtype=np.int64),
+            "shell_xs": obj(shell_x_col),
+            "shell_ys": obj(shell_y_col),
+            "hole_xs": obj(hole_x_col),
+            "hole_ys": obj(hole_y_col),
+            "n_holes": n_holes_out,
+            "area": net_area[sel],
+            "cx": cx[sel],
+            "cy": cy[sel],
+        },
+        columns=list(cols),
+    )
 
 
 def canonicalize_ring(xs: np.ndarray, ys: np.ndarray):

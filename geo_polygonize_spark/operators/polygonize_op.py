@@ -43,7 +43,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..kernels.polygonize import DEFAULT_SNAP_GRID, polygonize_segments
+from ..kernels.polygonize import (
+    DEFAULT_SNAP_GRID,
+    polygonize_segments,
+    polygonize_segments_pdf,
+)
 from ..kernels.rings import polygon_centroid
 
 POLYGON_SCHEMA = T.StructType(
@@ -111,7 +115,7 @@ def polygonize(
     segments = segmentize_df(lines_df)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        polys = polygonize_segments(
+        return polygonize_segments_pdf(
             pdf["x1"].to_numpy(),
             pdf["y1"].to_numpy(),
             pdf["x2"].to_numpy(),
@@ -119,8 +123,9 @@ def polygonize(
             node_input=node_input,
             snap_grid=snap_grid,
             drop_collapsed=drop_collapsed,
+            tile_i=-1,
+            tile_j=-1,
         )
-        return _polygons_to_pdf(polys, -1, -1)
 
     return segments.withColumn("g", F.lit(0)).groupBy("g").applyInPandas(kernel, POLYGON_SCHEMA)
 
@@ -227,9 +232,7 @@ def prepare_tiled(
         side_py = ts_py / f
         core_x0 = x0 + tile_i * ts_py + sub_i * side_py
         core_y0 = y0 + tile_j * ts_py + sub_j * side_py
-        core_x1 = core_x0 + side_py
-        core_y1 = core_y0 + side_py
-        polys = polygonize_segments(
+        out = polygonize_segments_pdf(
             pdf["x1"].to_numpy(),
             pdf["y1"].to_numpy(),
             pdf["x2"].to_numpy(),
@@ -237,17 +240,24 @@ def prepare_tiled(
             node_input=True,  # per-tile noding, reference tiling.rs:62-63
             snap_grid=snap_grid,
             drop_collapsed=drop_collapsed,
+            tile_i=tile_i,
+            tile_j=tile_j,
         )
-        keep = []
-        for p in polys:
-            if p.area < 1e-6:
-                continue  # sliver filter (tiling.rs:94-97)
-            cx, cy = polygon_centroid(p.shell_xs, p.shell_ys, p.holes)
-            # half-open ownership (tiling.rs:99-106); cores partition
-            # the plane → exactly-once across (sub-)tiles
-            if core_x0 <= cx < core_x1 and core_y0 <= cy < core_y1:
-                keep.append(p)
-        return _polygons_to_pdf(keep, tile_i, tile_j)
+        cx = out["cx"].to_numpy()
+        cy = out["cy"].to_numpy()
+        # sliver filter (tiling.rs:94-97) + half-open ownership
+        # (tiling.rs:99-106); cores partition the plane → exactly-once
+        # across (sub-)tiles
+        m = (
+            (out["area"].to_numpy() >= 1e-6)
+            & (cx >= core_x0)
+            & (cx < core_x0 + side_py)
+            & (cy >= core_y0)
+            & (cy < core_y0 + side_py)
+        )
+        out = out[m].reset_index(drop=True)
+        out["poly_id"] = np.arange(len(out), dtype=np.int64)
+        return out
 
     return assigned, kernel
 

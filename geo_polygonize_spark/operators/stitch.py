@@ -19,14 +19,32 @@ Correctness argument (each step local and deterministic):
    (mis-traced from partial linework) must visit a node outside the
    window, so its bbox escapes the window → the fit test rejects it.
 3. Levels: level k uses tile size ``tile_size · 2^k``. A ring is
-   emitted at level k by the tile owning its centroid iff it FITS that
-   tile's window at k and does NOT fit its owner's window at k-1.
-   Ownership cores partition the plane and the fit test is a pure
-   function of ring geometry + global grid constants, so every global
-   ring is emitted EXACTLY ONCE — at the first level big enough for
-   it. The top level is one tile covering the whole bbox, so nothing
-   is ever lost. (A defensive dropDuplicates on the canonical ring
-   hash backs the proof.)
+   emitted at level k by the (sub-)tile owning its centroid iff it
+   FITS that owner's buffered window. Rings are canonicalized BEFORE
+   the centroid/bbox computation, so every tile that traces the same
+   ring derives bit-identical ownership and fit decisions. Cross-level
+   duplicates collapse on the canonical ring hash.
+3b. Beacon-pruned escalation (the 100 TB path — level k+1 does NOT
+   rescan the world): a tile emits a BEACON bbox for (a) every raw
+   trace whose bbox escapes its window and (b) every complete ring
+   that does not fit its centroid-owner's window. Level k+1 processes
+   ONLY tiles whose buffered window intersects a level-k beacon; no
+   beacons → the loop stops. Soundness: let R be a global ring not yet
+   emitted at level k. Any active tile whose window contains a segment
+   s of R traces s's half-edge; the trace either escapes (beacon ∋ s),
+   or completes — and a complete in-window trace is a global ring
+   (complete-fan argument in step 2), whose owner-fit test fails while
+   R is unemittable (beacon ∋ s). So beacons cover R's linework at
+   every level below R's emission level m; the owner-at-m window
+   contains R's bbox, hence intersects those beacons, hence is active
+   — and it fits+owns R, so R is emitted. Escalation volume decays
+   geometrically with the linework that actually crosses tile
+   boundaries; a fully tile-local input stops after level 0.
+3c. Skew: each level sub-splits hot tiles (count > max_segments_per
+   tile) into f×f sub-tiles; the per-level factor map rides into every
+   kernel so all tracers agree on the owner SUB-window. A ring that
+   fits the owner tile but not the owner sub-window beacons and emits
+   one level up.
 4. Assembly (classification → twin promotion → smallest-containing-
    shell hole assignment → net-area filter, reference
    polygonizer.rs:124-261) runs as DISTRIBUTED DataFrame ops over the
@@ -43,11 +61,8 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..functions.cells import cell_range_cols
 from ..kernels.polygonize import DEFAULT_SNAP_GRID, trace_rings
-from ..kernels.rings import canonicalize_ring
-from ..kernels.rings import centroid as ring_centroid
-from ..kernels.rings import signed_area
+from ..kernels.rings import batch_ring_stats
 from .polygonize_op import POLYGON_SCHEMA, _bbox_of_segments, segmentize_df
-from .spatial_join import _pip_refine
 
 RING_SCHEMA = T.StructType(
     [
@@ -61,8 +76,25 @@ RING_SCHEMA = T.StructType(
         T.StructField("cx", T.DoubleType()),
         T.StructField("cy", T.DoubleType()),
         T.StructField("level", T.IntegerType()),
+        # True: not a ring — an escalation beacon bbox (escaped trace
+        # or owner-unfittable ring); drives level-(k+1) tile pruning
+        T.StructField("beacon", T.BooleanType()),
     ]
 )
+
+
+STITCH_KEY = ["tile_i", "tile_j", "f", "sub_i", "sub_j"]
+
+
+def _tile_range_cols(x0, y0, ts_k, buffer, cols, rows, bx1, by1, bx2, by2):
+    """Covered-tile index ranges (boundary-inclusive) for a bbox on
+    the (x0, y0)-anchored grid of size ts_k with buffered windows."""
+    ts_l = F.lit(ts_k)
+    i_lo = F.greatest(F.ceil((bx1 - F.lit(x0 + buffer)) / ts_l - 1), F.lit(0)).cast("int")
+    i_hi = F.least(F.floor((bx2 - F.lit(x0 - buffer)) / ts_l), F.lit(cols - 1)).cast("int")
+    j_lo = F.greatest(F.ceil((by1 - F.lit(y0 + buffer)) / ts_l - 1), F.lit(0)).cast("int")
+    j_hi = F.least(F.floor((by2 - F.lit(y0 - buffer)) / ts_l), F.lit(rows - 1)).cast("int")
+    return i_lo, i_hi, j_lo, j_hi
 
 
 def stitched_polygonize(
@@ -74,11 +106,16 @@ def stitched_polygonize(
     drop_collapsed: bool = False,
     assembly: str = "auto",
     distributed_assembly_threshold: int = 200_000,
+    max_segments_per_tile: int | None = 200_000,
+    max_split_factor: int = 16,
 ) -> DataFrame:
     """Exact distributed polygonize with no maximum polygon size.
 
     Output matches the single-group ``polygonize`` exactly (same ring
-    set, same assembly semantics), but every stage is distributed.
+    set, same assembly semantics), but every stage is distributed, and
+    levels above 0 touch ONLY beacon-escalated regions (module
+    docstring step 3b) — a tile-local input costs one tiled pass plus
+    one empty beacon check.
 
     ``assembly``: "auto" (single-group kernel assembly below
     ``distributed_assembly_threshold`` rings — a handful of joins over
@@ -86,7 +123,7 @@ def stitched_polygonize(
     call), "local" (always single-group), or "distributed" (always
     the DataFrame joins — the unbounded-scale path).
     """
-    segments = segmentize_df(lines_df)
+    segments = segmentize_df(lines_df).persist()
     if bbox is None:
         bbox = _bbox_of_segments(segments)
     x0, y0, x1g, y1g = (float(v) for v in bbox)
@@ -96,45 +133,142 @@ def stitched_polygonize(
     spark = lines_df.sparkSession
     n_parts = max(int(spark.sparkContext.defaultParallelism) * 2, 16)
 
+    sbx1 = F.least("x1", "x2")
+    sbx2 = F.greatest("x1", "x2")
+    sby1 = F.least("y1", "y2")
+    sby2 = F.greatest("y1", "y2")
+
+    # level-0 skew sub-split (north_rule explicit salting): hot tiles
+    # shatter into f×f sub-tiles; the factor map rides into EVERY
+    # level-0 kernel so all tracers of a ring agree on its owner's
+    # sub-window (module docstring 3c). One aggregation — the same
+    # cost tiled_polygonize pays. Levels ≥ 1 process beacon-pruned
+    # escalation regions only, so they run unsplit (and the FINAL
+    # level must never split: its single window covers the bbox, so
+    # nothing can escape it).
+    factors: dict[tuple[int, int], int] = {}
+    if max_segments_per_tile is not None and n_levels > 1:
+        cols0 = max(int(np.ceil((x1g - x0) / tile_size)), 1)
+        rows0 = max(int(np.ceil((y1g - y0) / tile_size)), 1)
+        i_lo, i_hi, j_lo, j_hi = _tile_range_cols(
+            x0, y0, tile_size, buffer, cols0, rows0, sbx1, sby1, sbx2, sby2
+        )
+        fac_rows = (
+            segments.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi)))
+            .withColumn("tile_j", F.explode(F.sequence(j_lo, j_hi)))
+            .groupBy("tile_i", "tile_j")
+            .count()
+            .filter(F.col("count") > max_segments_per_tile)
+            .collect()
+        )
+        factors = {
+            (int(r["tile_i"]), int(r["tile_j"])): int(
+                min(np.ceil(np.sqrt(r["count"] / max_segments_per_tile)), max_split_factor)
+            )
+            for r in fac_rows
+        }
+
+    # The level chain is LAZY: level k+1's tile set derives from level
+    # k's beacons through a broadcast semi-join INSIDE the plan, so one
+    # final action executes every level as stages of one job (each
+    # out_k persists on first touch and feeds both the ring union and
+    # the next level's pruning). A level with no beacons makes every
+    # later level an empty stage — near-zero cost, no driver barrier
+    # per level.
     level_rings = []
+    active = None  # level-k tile keys to process; None = all (level 0)
     for k in range(n_levels):
         ts_k = tile_size * (2.0**k)
         cols = max(int(np.ceil((x1g - x0) / ts_k)), 1)
         rows = max(int(np.ceil((y1g - y0) / ts_k)), 1)
 
-        bx1 = F.least("x1", "x2")
-        bx2 = F.greatest("x1", "x2")
-        by1 = F.least("y1", "y2")
-        by2 = F.greatest("y1", "y2")
-        ts_l = F.lit(ts_k)
-        i_lo = F.greatest(F.ceil((bx1 - F.lit(x0 + buffer)) / ts_l - 1), F.lit(0)).cast("int")
-        i_hi = F.least(F.floor((bx2 - F.lit(x0 - buffer)) / ts_l), F.lit(cols - 1)).cast("int")
-        j_lo = F.greatest(F.ceil((by1 - F.lit(y0 + buffer)) / ts_l - 1), F.lit(0)).cast("int")
-        j_hi = F.least(F.floor((by2 - F.lit(y0 - buffer)) / ts_l), F.lit(rows - 1)).cast("int")
-        assigned = (
-            segments.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi)))
-            .withColumn("tile_j", F.explode(F.sequence(j_lo, j_hi)))
-            .repartition(n_parts, "tile_i", "tile_j")
+        i_lo, i_hi, j_lo, j_hi = _tile_range_cols(
+            x0, y0, ts_k, buffer, cols, rows, sbx1, sby1, sbx2, sby2
         )
+        assigned = segments.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi))).withColumn(
+            "tile_j", F.explode(F.sequence(j_lo, j_hi))
+        )
+        if active is not None:
+            assigned = assigned.join(F.broadcast(active), ["tile_i", "tile_j"], "left_semi")
 
-        kernel = _make_ring_kernel(x0, y0, float(ts_k), k, buffer, snap_grid)
+        k_factors = factors if k == 0 else {}
+        if k_factors:
+            fdf = spark.createDataFrame(
+                [(ti, tj, fv) for (ti, tj), fv in k_factors.items()],
+                "tile_i int, tile_j int, f int",
+            )
+            assigned = assigned.join(F.broadcast(fdf), ["tile_i", "tile_j"], "left").fillna(
+                {"f": 1}
+            )
+            tile_x0 = F.lit(x0) + F.col("tile_i").cast("double") * F.lit(ts_k)
+            tile_y0 = F.lit(y0) + F.col("tile_j").cast("double") * F.lit(ts_k)
+            side = F.lit(ts_k) / F.col("f")
+            si_lo = F.greatest(F.ceil((sbx1 - F.lit(buffer) - tile_x0) / side - 1), F.lit(0)).cast("int")
+            si_hi = F.least(F.floor((sbx2 + F.lit(buffer) - tile_x0) / side), F.col("f") - 1).cast("int")
+            sj_lo = F.greatest(F.ceil((sby1 - F.lit(buffer) - tile_y0) / side - 1), F.lit(0)).cast("int")
+            sj_hi = F.least(F.floor((sby2 + F.lit(buffer) - tile_y0) / side), F.col("f") - 1).cast("int")
+            assigned = assigned.withColumn("sub_i", F.explode(F.sequence(si_lo, si_hi))).withColumn(
+                "sub_j", F.explode(F.sequence(sj_lo, sj_hi))
+            )
+        else:
+            assigned = (
+                assigned.withColumn("f", F.lit(1))
+                .withColumn("sub_i", F.lit(0))
+                .withColumn("sub_j", F.lit(0))
+            )
 
-        level_rings.append(
-            assigned.groupBy("tile_i", "tile_j").applyInPandas(kernel, RING_SCHEMA)
+        # explicit repartition at level 0: defeat AQE 1-task coalesce
+        # (grouped-map cost is kernel CPU, not shuffle bytes); groupBy
+        # reuses it. Levels ≥ 1 carry only beacon-escalated linework —
+        # usually tiny — so they keep AQE's coalescing (a handful of
+        # tasks) instead of n_parts near-empty python-worker tasks.
+        if k == 0:
+            assigned = assigned.repartition(n_parts, *STITCH_KEY)
+        prev_factors = None if k == 0 else (factors if k == 1 else {})
+        kernel = _make_ring_kernel(
+            x0, y0, float(ts_k), k, buffer, snap_grid, k_factors, prev_factors
+        )
+        out = assigned.groupBy(*STITCH_KEY).applyInPandas(kernel, RING_SCHEMA).persist()
+        level_rings.append(out.where(~F.col("beacon")))
+
+        if k + 1 >= n_levels:
+            break
+        # level-(k+1) active tiles: every tile whose buffered window
+        # intersects a level-k beacon bbox — distributed, lazy
+        beacons = out.where(F.col("beacon")).select("bx1", "by1", "bx2", "by2")
+        ts_n = ts_k * 2.0
+        cols_n = max(int(np.ceil((x1g - x0) / ts_n)), 1)
+        rows_n = max(int(np.ceil((y1g - y0) / ts_n)), 1)
+        bi_lo, bi_hi, bj_lo, bj_hi = _tile_range_cols(
+            x0, y0, ts_n, buffer, cols_n, rows_n,
+            F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"),
+        )
+        # no distinct: a left-semi join tolerates duplicate keys on the
+        # build side, and skipping it saves a shuffle per level
+        active = (
+            beacons.withColumn("tile_i", F.explode(F.sequence(bi_lo, bi_hi)))
+            .withColumn("tile_j", F.explode(F.sequence(bj_lo, bj_hi)))
+            .select("tile_i", "tile_j")
         )
 
     rings = level_rings[0]
     for df in level_rings[1:]:
         rings = rings.unionByName(df)
-    # cross-level dedup: rings emit at EVERY level whose window they
-    # fit; the canonical rotation makes the coordinate arrays (hence
-    # the hash) identical, so one survives
-    rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).dropDuplicates(["rid"])
+    # cross-level dedup: a ring may be emitted at every level ≥ its
+    # minimal fitting level that still traces it; the canonical
+    # rotation makes the coordinate arrays (hence the hash) identical,
+    # so one survives
+    rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).dropDuplicates(["rid"]).drop(
+        "beacon"
+    )
 
     if assembly not in ("auto", "local", "distributed"):
         raise ValueError(f"assembly must be auto|local|distributed, got {assembly!r}")
+    # the ring set is the hub of the assembly DAG (promotion anti-join,
+    # cell join, hole aggregation all re-consume it) — persist it in
+    # every mode or the whole level pipeline recomputes per consumer
+    rings = rings.persist()
     if assembly == "auto":
-        rings = rings.persist()
         assembly = (
             "local" if rings.count() <= distributed_assembly_threshold else "distributed"
         )
@@ -147,15 +281,12 @@ def _assemble_rings_local(rings: DataFrame, drop_collapsed: bool) -> DataFrame:
     """Single-group assembly: one grouped-map task runs the numpy
     assembly kernel over the whole (small) ring set — identical
     semantics to the distributed joins, a fraction of the latency."""
-    from ..kernels.rings import assemble_polygons
-    from .polygonize_op import _polygons_to_pdf
+    from ..kernels.rings import assemble_polygons_pdf
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ring_xs = [np.asarray(v, dtype=np.float64) for v in pdf["xs"]]
         ring_ys = [np.asarray(v, dtype=np.float64) for v in pdf["ys"]]
-        polys = assemble_polygons(ring_xs, ring_ys, drop_collapsed=drop_collapsed)
-        out = _polygons_to_pdf(polys, -2, -2)
-        return out
+        return assemble_polygons_pdf(ring_xs, ring_ys, drop_collapsed, -2, -2)
 
     return (
         rings.select("xs", "ys")
@@ -165,11 +296,21 @@ def _assemble_rings_local(rings: DataFrame, drop_collapsed: bool) -> DataFrame:
     )
 
 
-def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid):
+def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_factors=None):
+    """Per-(sub-)tile trace kernel. ``factors``: this level's hot-tile
+    split map {(tile_i, tile_j): f} — closed over so EVERY tracer
+    derives the same owner sub-window for a given ring (3c).
+    ``prev_factors``: level k-1's map, for the minimal-level skip: a
+    ring that already FIT its owner's window at k-1 was emitted there
+    (that owner is provably active while the ring is unemitted — 3b),
+    so re-tracing levels don't re-emit it."""
+
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        tile_i, tile_j = int(key[0]), int(key[1])
-        core_x0 = x0 + tile_i * ts_py
-        core_y0 = y0 + tile_j * ts_py
+        tile_i, tile_j, f, sub_i, sub_j = (int(v) for v in key)
+        side = ts_py / f
+        core_x0 = x0 + tile_i * ts_py + sub_i * side
+        core_y0 = y0 + tile_j * ts_py + sub_j * side
+        win = (core_x0 - buffer, core_y0 - buffer, core_x0 + side + buffer, core_y0 + side + buffer)
         # prune only inside-window dangle tips (see graph.prune_dangles:
         # outside-tip stubs must survive so affected rings escape the
         # window and escalate instead of tracing spurious hulls)
@@ -180,56 +321,95 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid):
             pdf["y2"].to_numpy(),
             node_input=True,
             snap_grid=snap_grid,
-            prune_window=(
-                core_x0 - buffer,
-                core_y0 - buffer,
-                core_x0 + ts_py + buffer,
-                core_y0 + ts_py + buffer,
-            ),
+            prune_window=win,
         )
-        out = {c: [] for c in ("xs", "ys", "area", "bx1", "by1", "bx2", "by2", "cx", "cy")}
-        win = (core_x0 - buffer, core_y0 - buffer, core_x0 + ts_py + buffer, core_y0 + ts_py + buffer)
-        for xs, ys in zip(rxs, rys):
-            # RAW fit test first: any trace polluted by the window edge
-            # (wrong turns or dangle detours at incomplete-fan nodes)
-            # necessarily visits an out-of-window node, so its raw bbox
-            # escapes and the ring escalates to a coarser level.
-            b = (float(np.min(xs)), float(np.min(ys)), float(np.max(xs)), float(np.max(ys)))
-            if not (b[0] >= win[0] and b[1] >= win[1] and b[2] <= win[2] and b[3] <= win[3]):
-                continue
-            a = signed_area(xs, ys)
-            if abs(a) < 1e-9:
-                continue  # degenerate (polygonizer.rs:138-140)
-            cx, cy = ring_centroid(xs, ys)
-            # owner? (cores partition the plane per level; cross-level
-            # duplicates are removed by the canonical ring hash)
-            if not (core_x0 <= cx < core_x0 + ts_py and core_y0 <= cy < core_y0 + ts_py):
-                continue
-            # canonical rotation → identical arrays (and hash) at every
-            # level that emits this ring
-            xs, ys = canonicalize_ring(xs, ys)
-            out["xs"].append(xs)
-            out["ys"].append(ys)
-            out["area"].append(float(a))
-            out["bx1"].append(b[0])
-            out["by1"].append(b[1])
-            out["bx2"].append(b[2])
-            out["by2"].append(b[3])
-            out["cx"].append(cx)
-            out["cy"].append(cy)
+        # fully vectorized post-trace pass (no per-ring Python): the
+        # canonical rotation happens BEFORE any accumulation, so every
+        # tile that traces the same ring derives bit-identical
+        # area/centroid/bbox — ownership decisions must agree across
+        # tracers (3)
+        xr, yr, off, L, bx1, by1, bx2, by2, area, cx, cy = batch_ring_stats(rxs, rys)
+        n = area.size
+        if n == 0:
+            inwin = np.zeros(0, dtype=bool)
+        else:
+            inwin = (bx1 >= win[0]) & (by1 >= win[1]) & (bx2 <= win[2]) & (by2 <= win[3])
+        # RAW escape: any trace polluted by the window edge (wrong
+        # turns or dangle detours at incomplete-fan nodes) necessarily
+        # visits an out-of-window node → its bbox escapes → beacon (3b)
+        degen = np.abs(area) < 1e-9  # polygonizer.rs:138-140
+
+        def owner_fit(ts, fmap):
+            oti = np.floor((cx - x0) / ts).astype(np.int64)
+            otj = np.floor((cy - y0) / ts).astype(np.int64)
+            ox0 = x0 + oti * ts
+            oy0 = y0 + otj * ts
+            oside = np.full(n, ts)
+            f_arr = np.ones(n, dtype=np.int64)
+            osi = np.zeros(n, dtype=np.int64)
+            osj = np.zeros(n, dtype=np.int64)
+            for (hti, htj), fv in fmap.items():
+                m = (oti == hti) & (otj == htj)
+                if not m.any():
+                    continue
+                s = ts / fv
+                si = np.clip(np.floor((cx[m] - ox0[m]) / s).astype(np.int64), 0, fv - 1)
+                sj = np.clip(np.floor((cy[m] - oy0[m]) / s).astype(np.int64), 0, fv - 1)
+                ox0[m] += si * s
+                oy0[m] += sj * s
+                oside[m] = s
+                f_arr[m] = fv
+                osi[m] = si
+                osj[m] = sj
+            fits = (
+                (bx1 >= ox0 - buffer)
+                & (by1 >= oy0 - buffer)
+                & (bx2 <= ox0 + oside + buffer)
+                & (by2 <= oy0 + oside + buffer)
+            )
+            return (oti, otj, f_arr, osi, osj), fits
+
+        owner, fits_owner = owner_fit(ts_py, factors)
+        is_beacon = (~inwin) | (inwin & ~degen & ~fits_owner)
+        emit = inwin & ~degen & fits_owner
+        if prev_factors is not None:
+            _, fits_prev = owner_fit(ts_py / 2.0, prev_factors)
+            # already emitted at its minimal fitting level — don't ship
+            # duplicates through Arrow + shuffle
+            emit &= ~fits_prev
+        emit &= (
+            (owner[0] == tile_i)
+            & (owner[1] == tile_j)
+            & (owner[2] == f)
+            & (owner[3] == sub_i)
+            & (owner[4] == sub_j)
+        )
+
+        em = np.flatnonzero(emit)
+        bc = np.flatnonzero(is_beacon)
+        xs_out, ys_out = [], []
+        for i in em:
+            o, l = off[i], L[i]
+            xs_out.append(np.concatenate((xr[o : o + l], xr[o : o + 1])))
+            ys_out.append(np.concatenate((yr[o : o + l], yr[o : o + 1])))
+        n_out = em.size + bc.size
         obj = lambda v: pd.Series(v, dtype=object)
+        zeros_bc = np.zeros(bc.size)
         return pd.DataFrame(
             {
-                "xs": obj(out["xs"]),
-                "ys": obj(out["ys"]),
-                "area": np.asarray(out["area"], dtype=np.float64),
-                "bx1": np.asarray(out["bx1"], dtype=np.float64),
-                "by1": np.asarray(out["by1"], dtype=np.float64),
-                "bx2": np.asarray(out["bx2"], dtype=np.float64),
-                "by2": np.asarray(out["by2"], dtype=np.float64),
-                "cx": np.asarray(out["cx"], dtype=np.float64),
-                "cy": np.asarray(out["cy"], dtype=np.float64),
-                "level": np.full(len(out["area"]), level, dtype=np.int32),
+                "xs": obj(xs_out + [np.empty(0)] * bc.size),
+                "ys": obj(ys_out + [np.empty(0)] * bc.size),
+                "area": np.concatenate((area[em], zeros_bc)),
+                "bx1": np.concatenate((bx1[em], bx1[bc])),
+                "by1": np.concatenate((by1[em], by1[bc])),
+                "bx2": np.concatenate((bx2[em], bx2[bc])),
+                "by2": np.concatenate((by2[em], by2[bc])),
+                "cx": np.concatenate((cx[em], zeros_bc)),
+                "cy": np.concatenate((cy[em], zeros_bc)),
+                "level": np.full(n_out, level, dtype=np.int32),
+                "beacon": np.concatenate(
+                    (np.zeros(em.size, dtype=bool), np.ones(bc.size, dtype=bool))
+                ),
             }
         )
 
@@ -300,7 +480,12 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
     cell = max(span / max(int(np.sqrt(stats["n"])), 1), float(stats["med"] or 0.0), span * 1e-9)
     n_cells = 1 << 20
 
-    sc = all_shells
+    # NARROW candidate generation: only (rid, bbox, area) replicate per
+    # covered cell — ring coordinate arrays never enter the cell join.
+    # (A shell spanning the full extent — e.g. a grid hull — covers
+    # every cell; replicating its 10⁵-vertex array per cell is an
+    # O(cells × ring) shuffle blowup, measured as the dominant cost.)
+    sc = all_shells.select("rid", "s_area", "bx1", "by1", "bx2", "by2")
     ci1 = cell_range_cols(F.col("bx1"), gx0, cell, n_cells)
     ci2 = cell_range_cols(F.col("bx2"), gx0, cell, n_cells)
     cj1 = cell_range_cols(F.col("by1"), gy0, cell, n_cells)
@@ -308,9 +493,11 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
     shell_cells = sc.withColumn("cell_i", F.explode(F.sequence(ci1, ci2))).withColumn(
         "cell_j", F.explode(F.sequence(cj1, cj2))
     )
-    hole_pts = holes.withColumn("cell_i", cell_range_cols(F.col("hcx"), gx0, cell, n_cells)).withColumn(
-        "cell_j", cell_range_cols(F.col("hcy"), gy0, cell, n_cells)
-    )
+    hole_pts = holes.select("h_rid", "hcx", "hcy", "h_area").withColumn(
+        "cell_i", cell_range_cols(F.col("hcx"), gx0, cell, n_cells)
+    ).withColumn("cell_j", cell_range_cols(F.col("hcy"), gy0, cell, n_cells))
+    # a hole keys to exactly ONE cell, so each (hole, shell) candidate
+    # pair arises once — no dedup needed
     cand = hole_pts.join(shell_cells, ["cell_i", "cell_j"]).where(
         (F.col("hcx") >= F.col("bx1"))
         & (F.col("hcx") <= F.col("bx2"))
@@ -318,20 +505,54 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
         & (F.col("hcy") <= F.col("by2"))
         & (F.col("s_area") > F.col("h_area") + 1e-6)  # polygonizer.rs:226
     )
-    hit = cand.where(
-        _pip_refine(
-            "hcx", "hcy", "xs", "ys", F.array().cast("array<array<double>>"), F.array().cast("array<array<double>>")
-        )
+    # group candidates per shell, then join the shell's ring arrays by
+    # rid — coordinates cross the wire exactly once per shell; the PIP
+    # kernel is many-probes-vs-one-ring (y-bucketed for huge rings)
+    per_shell = cand.groupBy("rid", "s_area").agg(
+        F.collect_list(F.struct("h_rid", "hcx", "hcy")).alias("probes")
     )
+    with_coords = per_shell.join(all_shells.select("rid", "xs", "ys"), "rid")
+
+    hit_schema = T.StructType(
+        [
+            T.StructField("h_rid", T.LongType()),
+            T.StructField("rid", T.LongType()),
+            T.StructField("s_area", T.DoubleType()),
+        ]
+    )
+
+    def pip_hits(batches):
+        from ..kernels.rings import _pip_many_vs_ring
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                probes = row.probes
+                if len(probes) == 0:
+                    continue
+                px = np.fromiter((p["h_rid"] for p in probes), np.int64, len(probes))
+                pxx = np.fromiter((p["hcx"] for p in probes), np.float64, len(probes))
+                pyy = np.fromiter((p["hcy"] for p in probes), np.float64, len(probes))
+                ring_x = np.asarray(row.xs, np.float64)
+                ring_y = np.asarray(row.ys, np.float64)
+                inside = _pip_many_vs_ring(pxx, pyy, ring_x, ring_y)
+                sel = np.flatnonzero(inside)
+                if sel.size:
+                    yield pd.DataFrame(
+                        {
+                            "h_rid": px[sel],
+                            "rid": np.full(sel.size, row.rid, np.int64),
+                            "s_area": np.full(sel.size, row.s_area, np.float64),
+                        }
+                    )
+
+    hit = with_coords.mapInPandas(pip_hits, hit_schema)
     assigned = (
         hit.groupBy("h_rid")
-        .agg(
-            F.min_by(F.struct("rid"), "s_area").alias("best"),
-            F.first("h_xs").alias("h_xs"),
-            F.first("h_ys").alias("h_ys"),
-            F.first("h_area").alias("h_area"),
-        )
-        .select(F.col("best.rid").alias("rid"), "h_xs", "h_ys", "h_area")
+        .agg(F.min_by(F.struct("rid"), "s_area").alias("best"))
+        .select("h_rid", F.col("best.rid").alias("rid"))
+        .join(
+            holes.select("h_rid", "h_xs", "h_ys", "h_area"), "h_rid"
+        )  # hole ring arrays: once per assigned hole, by id
     )
 
     hole_agg = assigned.groupBy("rid").agg(

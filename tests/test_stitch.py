@@ -84,3 +84,41 @@ def test_stitched_mixed_scales(spark):
     assert giant["n_holes"] == 0
     hull = next(r for r in got if abs(r["area"]) < 1e-6)
     assert hull["n_holes"] == 64
+
+
+def test_stitched_with_skew_subsplit_equals_global(spark):
+    """Force per-level hot-tile sub-splits (tiny max_segments_per_tile):
+    rings that fit a tile but not its sub-window must escalate a level
+    via beacons and still come out exactly once."""
+    n = 10
+    xs, ys = grid_lines(n)
+    df = lines_to_df(spark, xs, ys)
+    bbox = (0.0, 0.0, float(n), float(n))
+    got = stitched_polygonize(
+        df,
+        tile_size=5.0,
+        buffer=1.5,
+        bbox=bbox,
+        drop_collapsed=True,
+        max_segments_per_tile=10,
+        max_split_factor=4,
+    ).collect()
+    want = polygonize(df, node_input=True, drop_collapsed=True).collect()
+    assert keyset(got) == keyset(want)
+    assert len(got) == n * n
+
+
+def test_stitched_subsplit_recovers_big_polygons(spark):
+    # sub-splits + beacons + big rings together: the nested_holes rings
+    # cannot fit any level-0 sub-window, so every one escalates
+    xs, ys, node, snap = fixture("nested_holes")
+    df = lines_to_df(spark, xs, ys)
+    got = stitched_polygonize(
+        df,
+        tile_size=10.0,
+        buffer=2.0,
+        bbox=(0.0, 0.0, 100.0, 100.0),
+        max_segments_per_tile=4,
+        max_split_factor=3,
+    ).collect()
+    assert sorted(round(r["area"], 6) for r in got) == [400.0, 3200.0, 6400.0]
