@@ -25,7 +25,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .operators.polygonize_op import POLYGON_SCHEMA, TILE_KEY, prepare_tiled
+from .operators.polygonize_op import (
+    POLYGON_SCHEMA,
+    TILE_KEY,
+    prepare_assigned,
+    prepare_tiled,
+)
 
 
 def _tile_metrics(assigned: DataFrame) -> DataFrame:
@@ -49,16 +54,37 @@ def _latest_metrics(spark: SparkSession, metrics_path: str) -> DataFrame | None:
 
 def resumable_tiled_polygonize(
     spark: SparkSession,
-    lines_df: DataFrame,
+    lines_df: DataFrame | None,
     ckpt_dir: str,
     tile_size: float,
+    assigned_segments: DataFrame | None = None,
+    scope_to_assigned: bool = False,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    buffer: float = 0.0,
     **kwargs,
 ) -> DataFrame:
     """Tiled polygonize with tile-level checkpoint/resume. Returns the
     polygon DataFrame read from the checkpoint store — identical
     whether the job ran fresh, resumed after a crash, or was already
-    complete (then it is a pure scan, no recompute)."""
-    assigned, kernel = prepare_tiled(lines_df, tile_size, **kwargs)
+    complete (then it is a pure scan, no recompute).
+
+    ``assigned_segments``: pre-tile-assigned segments (x1..y2, tile_i,
+    tile_j) instead of raw lines — the streaming path feeds the
+    touched partitions of its tile-partitioned segment store here.
+    ``scope_to_assigned``: the assignment covers only a SUBSET of the
+    store's tiles (incremental recompute); stale-key tombstoning then
+    applies only within the parents present in the assignment, and
+    absent tiles are trusted as still-valid coverage."""
+    if assigned_segments is not None:
+        bbox = kwargs.pop("bbox", None)
+        if bbox is not None:
+            x0, y0 = float(bbox[0]), float(bbox[1])
+        assigned, kernel = prepare_assigned(
+            assigned_segments, tile_size, buffer=buffer, x0=x0, y0=y0, **kwargs
+        )
+    else:
+        assigned, kernel = prepare_tiled(lines_df, tile_size, buffer=buffer, **kwargs)
     metrics_now = _tile_metrics(assigned).persist()
 
     poly_path = f"{ckpt_dir}/polygons"
@@ -66,9 +92,11 @@ def resumable_tiled_polygonize(
 
     latest = _latest_metrics(spark, metrics_path)
     if latest is not None:
+        # n_segments joins too: xor cancels on duplicated segments, so
+        # (fingerprint, count) together identify the tile's multiset
         pending_keys = metrics_now.join(
-            latest.select(*TILE_KEY, "fingerprint"),
-            on=TILE_KEY + ["fingerprint"],
+            latest.select(*TILE_KEY, "fingerprint", "n_segments"),
+            on=TILE_KEY + ["fingerprint", "n_segments"],
             how="left_anti",
         ).select(*TILE_KEY)
         # stale keys: committed in the store but absent from the
@@ -79,7 +107,15 @@ def resumable_tiled_polygonize(
         # silent duplication of the tile's coverage. Tombstone metrics
         # rows (a newer run that wrote zero polygons for the key) make
         # the latest-run admission drop them.
-        stale_keys = latest.select(*TILE_KEY).join(
+        stale_candidates = latest.select(*TILE_KEY)
+        if scope_to_assigned:
+            # incremental scope: only parents present in the current
+            # assignment may invalidate; everything else is trusted
+            parents = metrics_now.select("tile_i", "tile_j").distinct()
+            stale_candidates = stale_candidates.join(
+                F.broadcast(parents), ["tile_i", "tile_j"], "left_semi"
+            )
+        stale_keys = stale_candidates.join(
             metrics_now.select(*TILE_KEY), on=TILE_KEY, how="left_anti"
         )
     else:

@@ -163,23 +163,68 @@ def prepare_tiled(
     cols = max(int(np.ceil((x1g - x0) / tile_size)), 1)
     rows = max(int(np.ceil((y1g - y0) / tile_size)), 1)
 
+    assigned = assign_tiles(segments, tile_size, buffer, x0, y0, cols, rows)
+    return prepare_assigned(
+        assigned,
+        tile_size,
+        buffer=buffer,
+        x0=x0,
+        y0=y0,
+        snap_grid=snap_grid,
+        drop_collapsed=drop_collapsed,
+        max_segments_per_tile=max_segments_per_tile,
+        max_split_factor=max_split_factor,
+    )
+
+
+def assign_tiles(
+    segments: DataFrame,
+    tile_size: float,
+    buffer: float,
+    x0: float,
+    y0: float,
+    cols: int,
+    rows: int,
+) -> DataFrame:
+    """Buffered tile assignment as pure column expressions —
+    boundary-INCLUSIVE tile ranges: a bbox touching a buffered tile
+    edge exactly belongs to that tile too (the reference uses
+    Rect::intersects, which is closed — tiling.rs:74; the
+    exact-boundary fixture tiling_tests.rs:52-80 depends on it).
+    i_lo = ceil(v - 1) includes the tile whose upper edge == bx1."""
     bx1 = F.least("x1", "x2")
     bx2 = F.greatest("x1", "x2")
     by1 = F.least("y1", "y2")
     by2 = F.greatest("y1", "y2")
     ts = F.lit(tile_size)
-    # boundary-INCLUSIVE tile ranges: a bbox touching a buffered tile
-    # edge exactly belongs to that tile too (the reference uses
-    # Rect::intersects, which is closed — tiling.rs:74; the
-    # exact-boundary fixture tiling_tests.rs:52-80 depends on it).
-    # i_lo = ceil(v - 1) includes the tile whose upper edge == bx1.
     i_lo = F.greatest(F.ceil((bx1 - F.lit(x0 + buffer)) / ts - 1), F.lit(0)).cast("int")
     i_hi = F.least(F.floor((bx2 - F.lit(x0 - buffer)) / ts), F.lit(cols - 1)).cast("int")
     j_lo = F.greatest(F.ceil((by1 - F.lit(y0 + buffer)) / ts - 1), F.lit(0)).cast("int")
     j_hi = F.least(F.floor((by2 - F.lit(y0 - buffer)) / ts), F.lit(rows - 1)).cast("int")
-    assigned = segments.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi))).withColumn(
+    return segments.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi))).withColumn(
         "tile_j", F.explode(F.sequence(j_lo, j_hi))
     )
+
+
+def prepare_assigned(
+    assigned: DataFrame,
+    tile_size: float,
+    buffer: float,
+    x0: float,
+    y0: float,
+    snap_grid: float = DEFAULT_SNAP_GRID,
+    drop_collapsed: bool = False,
+    max_segments_per_tile: int | None = 200_000,
+    max_split_factor: int = 16,
+):
+    """Skew sub-split + kernel for ALREADY tile-assigned segments
+    (``assign_tiles`` output, or a tile-partitioned segment store as in
+    the streaming path)."""
+    bx1 = F.least("x1", "x2")
+    bx2 = F.greatest("x1", "x2")
+    by1 = F.least("y1", "y2")
+    by2 = F.greatest("y1", "y2")
+    ts = F.lit(tile_size)
 
     # ---- skew split: hot tiles → f×f buffered sub-tiles --------------
     if max_segments_per_tile is not None:
@@ -221,7 +266,7 @@ def prepare_tiled(
     # segments collapse to ONE task and serialize the whole stage
     # (observed: grid-400 polygonize = 31s single-task vs ~3s spread).
     # groupBy reuses this exact hash partitioning, so no extra shuffle.
-    sess = lines_df.sparkSession
+    sess = assigned.sparkSession
     n_parts = max(int(sess.sparkContext.defaultParallelism) * 2, 16)
     assigned = assigned.repartition(n_parts, *TILE_KEY)
 

@@ -5,18 +5,19 @@ single-process analogs: the R-tree candidate join ``snap.rs:117-132``
 and hole-assignment join ``polygonizer.rs:192-249``); here they are
 cell-keyed equi-joins + vectorized refinement:
 
-* ``pip_join(points, polygons)`` — point-in-polygon: polygons
-  replicate into every grid cell their bbox covers (column exprs),
-  points key to one cell (column exprs), the equi-join prunes
-  candidates, a bbox pre-filter runs JVM-side, and the exact even-odd
-  ray cast (the SIMD kernel's numpy analog, simd.rs:31-79, including
-  holes) refines in an Arrow batch. Winner per point = the
+* ``pip_join(points, polygons)`` — point-in-polygon: polygon KEYS
+  (id + bbox + area, never ring arrays) replicate into every grid
+  cell their bbox covers (column exprs), points key to one cell, the
+  equi-join + JVM bbox pre-filter prune candidates, candidates group
+  per polygon (salted), ring arrays join ONCE per (polygon, salt),
+  and an Arrow kernel ray-casts each probe batch against its one
+  polygon (exact even-odd incl. holes, simd.rs:31-79 semantics;
+  y-bucketed edge index for huge rings). Winner per point = the
   smallest-area containing polygon (argmin via ``min_by``, the same
   rule as hole assignment, polygonizer.rs:226-229).
-  Skew: points replicate nothing; the heavy side (points) determines
-  task balance through the shuffle hash, and AQE skew-join splits hot
-  cells. Optionally ``salt`` adds an explicit salt column replicating
-  the polygon side S ways so one mega-cell cannot own a single task.
+  Skew: ``salt`` bounds the probe-group size per polygon (a polygon
+  attracting millions of candidates splits into ``salt`` groups, at
+  the cost of shipping its rings ``salt`` times).
 
 * ``knn_join(points, centroids, k)`` — k nearest tile centroids per
   point: the (small) centroid table is collected and numpy-broadcast
@@ -231,55 +232,128 @@ def pip_join(
     points outside all coverage drop out).
 
     ``strategy="broadcast"`` → pip_join_broadcast (map-only; coverage
-    must fit in memory). ``strategy="cells"`` (this body) → cell-key
-    equi-join: points key to their cell with pure column arithmetic;
-    the polygon side is replicated per covered cell (and per salt
-    bucket when ``salt`` is set). Catalyst plans the equi-join
-    (broadcast-hash if the replicated polygon side is small, else
-    shuffle-hash with AQE skew splitting) — the scale path for
-    coverages too large to collect.
+    must fit in memory). ``strategy="cells"`` (this body) → narrow
+    cell-key equi-join + per-polygon probe grouping + one-ring-batch
+    PIP refine (module docstring) — the scale path for coverages too
+    large to collect. ``salt`` bounds each polygon's probe-group size.
     """
     if strategy == "broadcast":
         return pip_join_broadcast(points, polygons, point_id=point_id, rows=rows)
-    pc = polygon_cells(polygons, x0, y0, cell_size)
-    pc = pc.select(
+    # NARROW cell join: only (pkey, bbox, area, tile ids) replicate per
+    # covered cell — ring arrays never enter it. Candidates then group
+    # per polygon (salted so one hot polygon cannot own a single task),
+    # the polygon's rings join ONCE per (polygon, salt) by pkey, and an
+    # Arrow kernel ray-casts the whole probe batch against that one
+    # polygon (y-bucketed index for huge rings). Ring coordinates cross
+    # the wire O(polygons × salt) times total, independent of how many
+    # candidate points each polygon attracts — previously they rode on
+    # EVERY candidate row, the dominant shuffle payload at scale.
+    pkey = F.xxhash64("tile_i", "tile_j", "poly_id")
+    group_salt = salt if (salt is not None and salt > 1) else 1
+
+    pc = polygon_cells(
+        polygons.select("tile_i", "tile_j", "poly_id", "area", "shell_xs", "shell_ys"),
+        x0,
+        y0,
+        cell_size,
+    ).select(
         "cell_i",
         "cell_j",
+        pkey.alias("pkey"),
         F.col("tile_i").alias("p_tile_i"),
         F.col("tile_j").alias("p_tile_j"),
         F.col("poly_id").alias("p_poly_id"),
-        "shell_xs",
-        "shell_ys",
-        "hole_xs",
-        "hole_ys",
         F.col("area").alias("p_area"),
         "pbx1",
         "pbx2",
         "pby1",
         "pby2",
     )
-    pts = points.withColumn(
+    coords = polygons.select(
+        pkey.alias("pkey"), "shell_xs", "shell_ys", "hole_xs", "hole_ys"
+    )
+    pts = points.select(point_id, "x", "y").withColumn(
         "cell_i", cell_range_cols(F.col("x"), x0, cell_size, 1 << 20)
     ).withColumn("cell_j", cell_range_cols(F.col("y"), y0, cell_size, 1 << 20))
 
-    if salt is not None and salt > 1:
-        # explicit skew salting: replicate each polygon-cell row into
-        # `salt` buckets; each point picks one bucket by hash
-        pc = pc.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-        pts = pts.withColumn("salt", F.pmod(F.xxhash64(point_id), F.lit(salt)).cast("int"))
-        keys = ["cell_i", "cell_j", "salt"]
-    else:
-        keys = ["cell_i", "cell_j"]
-
-    cand = pts.join(pc, keys, "inner").where(
+    # a point keys to ONE cell, so each (point, polygon) candidate pair
+    # arises once — no dedup needed
+    cand = pts.join(pc, ["cell_i", "cell_j"], "inner").where(
         (F.col("x") >= F.col("pbx1"))
         & (F.col("x") <= F.col("pbx2"))
         & (F.col("y") >= F.col("pby1"))
         & (F.col("y") <= F.col("pby2"))
     )
-    hit = cand.where(
-        _pip_refine("x", "y", "shell_xs", "shell_ys", "hole_xs", "hole_ys")
+    if group_salt > 1:
+        cand = cand.withColumn(
+            "gsalt", F.pmod(F.xxhash64(point_id), F.lit(group_salt)).cast("int")
+        )
+    else:
+        cand = cand.withColumn("gsalt", F.lit(0))
+    per_poly = cand.groupBy("pkey", "gsalt").agg(
+        F.first("p_tile_i").alias("p_tile_i"),
+        F.first("p_tile_j").alias("p_tile_j"),
+        F.first("p_poly_id").alias("p_poly_id"),
+        F.first("p_area").alias("p_area"),
+        F.collect_list(F.struct(point_id, "x", "y")).alias("probes"),
     )
+    with_coords = per_poly.join(coords, "pkey")
+
+    pt_field = points.schema[point_id].dataType
+    hit_schema = T.StructType(
+        [
+            T.StructField(point_id, pt_field),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("p_tile_i", T.IntegerType()),
+            T.StructField("p_tile_j", T.IntegerType()),
+            T.StructField("p_poly_id", T.LongType()),
+            T.StructField("p_area", T.DoubleType()),
+        ]
+    )
+
+    def pip_hits(batches):
+        from ..kernels.rings import _pip_many_vs_ring
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                probes = row.probes
+                if len(probes) == 0:
+                    continue
+                ids = [p[point_id] for p in probes]
+                px = np.fromiter((p["x"] for p in probes), np.float64, len(probes))
+                py = np.fromiter((p["y"] for p in probes), np.float64, len(probes))
+                sx = np.asarray(row.shell_xs, np.float64)
+                sy = np.asarray(row.shell_ys, np.float64)
+                inside = _pip_many_vs_ring(px, py, sx, sy)
+                hx_all = row.hole_xs
+                if hx_all is not None and len(hx_all) and inside.any():
+                    hy_all = row.hole_ys
+                    live = np.flatnonzero(inside)
+                    for hx, hy in zip(hx_all, hy_all):
+                        if live.size == 0:
+                            break
+                        in_hole = _pip_many_vs_ring(
+                            px[live], py[live],
+                            np.asarray(hx, np.float64), np.asarray(hy, np.float64),
+                        )
+                        inside[live[in_hole]] = False
+                        live = live[~in_hole]
+                sel = np.flatnonzero(inside)
+                if sel.size:
+                    yield pd.DataFrame(
+                        {
+                            point_id: [ids[i] for i in sel],
+                            "x": px[sel],
+                            "y": py[sel],
+                            "p_tile_i": np.full(sel.size, row.p_tile_i, np.int32),
+                            "p_tile_j": np.full(sel.size, row.p_tile_j, np.int32),
+                            "p_poly_id": np.full(sel.size, row.p_poly_id, np.int64),
+                            "p_area": np.full(sel.size, row.p_area, np.float64),
+                        }
+                    )
+
+    hit = with_coords.mapInPandas(pip_hits, hit_schema)
     # smallest containing polygon per point (argmin, polygonizer.rs:226-229)
     return hit.groupBy(point_id).agg(
         F.min_by(F.struct("p_tile_i", "p_tile_j", "p_poly_id"), "p_area").alias("best"),

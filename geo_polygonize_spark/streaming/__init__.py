@@ -2,19 +2,39 @@
 
 The reference is strictly batch (single ``polygonize()`` call,
 SURVEY.md §2.9) and the north_rule asks for resumable checkpoints
-rather than Structured Streaming semantics. This module is the thin
-bridge for callers that DO receive linework as a stream: micro-batches
-append to a lines store, and each trigger re-runs the checkpointed
-tiled polygonize — whose per-tile content fingerprints
-(checkpoint.py) make the re-run naturally INCREMENTAL: only tiles
-whose segment set changed recompute; untouched tiles are pure scans.
+rather than Structured Streaming semantics. This module is the bridge
+for callers that DO receive linework as a stream.
+
+Incremental design — per-batch cost is O(touched tiles), independent
+of the store size:
+
+1. Each micro-batch segmentizes its lines, assigns tiles (the same
+   buffered-replication expressions as the batch path), and APPENDS
+   to a segment store PARTITIONED BY (tile_i, tile_j).
+2. The batch's touched tile set (usually a handful of partitions) is
+   re-read via explicit partition paths — directory pruning, not a
+   store scan.
+3. The checkpointed recompute (checkpoint.resumable_tiled_polygonize
+   with ``scope_to_assigned``) runs over ONLY those tiles: per-tile
+   content fingerprints skip unchanged sub-tiles, superseded split
+   layouts inside touched parents are tombstoned, and untouched tiles
+   remain valid committed coverage.
+
+Earlier design re-read the ENTIRE lines store every trigger (the
+fingerprints skipped kernels but the scan itself grew with history);
+the tile-partitioned store removes that O(corpus) per-batch term.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..checkpoint import resumable_tiled_polygonize
+from ..operators.polygonize_op import assign_tiles, segmentize_df
+
+import numpy as np
 
 
 def streaming_polygonize(
@@ -23,6 +43,8 @@ def streaming_polygonize(
     store_dir: str,
     ckpt_dir: str,
     tile_size: float,
+    bbox: tuple[float, float, float, float],
+    buffer: float = 0.0,
     trigger: str = "10 seconds",
     available_now: bool = False,
     **polygonize_kwargs,
@@ -30,21 +52,50 @@ def streaming_polygonize(
     """lines readStream → incremental polygon coverage.
 
     ``lines_stream``: streaming DataFrame with the lines schema
-    (line_id, xs, ys, dataset). Each micro-batch appends to
-    ``store_dir`` (parquet) and refreshes the coverage at
-    ``ckpt_dir`` via the fingerprint-checkpointed tiled polygonize.
-    Returns the StreamingQuery; read the current coverage any time
-    with ``read_coverage``.
+    (line_id, xs, ys, dataset). ``bbox`` must be the FIXED global
+    extent (streaming cannot infer it from unseen data). Each
+    micro-batch appends tile-assigned segments to
+    ``store_dir/segments`` (parquet, partitioned by tile) and
+    recomputes only the touched tiles at ``ckpt_dir``. Returns the
+    StreamingQuery; read the current coverage any time with
+    ``read_coverage``.
     """
+    x0, y0, x1g, y1g = (float(v) for v in bbox)
+    cols = max(int(np.ceil((x1g - x0) / tile_size)), 1)
+    rows = max(int(np.ceil((y1g - y0) / tile_size)), 1)
+    seg_root = f"{store_dir}/segments"
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.write.mode("append").parquet(store_dir)
-        all_lines = spark.read.parquet(store_dir)
-        # changed tiles recompute, unchanged tiles no-op (fingerprints)
+        seg = assign_tiles(
+            segmentize_df(batch_df), tile_size, buffer, x0, y0, cols, rows
+        ).persist()
+        seg.write.mode("append").partitionBy("tile_i", "tile_j").parquet(seg_root)
+        touched = [
+            (int(r["tile_i"]), int(r["tile_j"]))
+            for r in seg.select("tile_i", "tile_j").distinct().collect()
+        ]
+        seg.unpersist()
+        paths = [
+            f"{seg_root}/tile_i={ti}/tile_j={tj}"
+            for ti, tj in touched
+            if os.path.isdir(f"{seg_root}/tile_i={ti}/tile_j={tj}")
+        ]
+        if not paths:
+            return
+        pruned = spark.read.option("basePath", seg_root).parquet(*paths)
         resumable_tiled_polygonize(
-            spark, all_lines, ckpt_dir, tile_size, **polygonize_kwargs
+            spark,
+            None,
+            ckpt_dir,
+            tile_size,
+            assigned_segments=pruned,
+            scope_to_assigned=True,
+            x0=x0,
+            y0=y0,
+            buffer=buffer,
+            **polygonize_kwargs,
         ).count()
 
     w = lines_stream.writeStream.foreachBatch(on_batch).option(

@@ -43,3 +43,37 @@ def test_streaming_incremental(spark, tmp_path):
     # metrics show multiple runs (incremental lineage)
     m = spark.read.parquet(f"{ck}/metrics")
     assert m.select("run_id").distinct().count() >= 2
+
+    # batch 3: extra linework confined to tile (0,0) — the recompute
+    # must touch ONLY that parent tile (per-batch cost is O(touched
+    # tiles), not O(store)), and the result must equal a fresh batch
+    # run over the full accumulated linework
+    extra_xs = [[0.0, 2.0], [0.5, 0.5], [1.5, 1.5]]
+    extra_ys = [[0.5, 0.5], [0.0, 2.0], [0.0, 2.0]]
+    lines_to_df(spark, extra_xs, extra_ys).write.mode("append").parquet(src)
+    stream3 = spark.readStream.schema(
+        "line_id long, xs array<double>, ys array<double>, dataset string"
+    ).parquet(src)
+    q3 = streaming_polygonize(
+        spark, stream3, store, ck, tile_size=5.0, buffer=1.5,
+        bbox=(0.0, 0.0, float(n), float(n)), drop_collapsed=True,
+        available_now=True,
+    )
+    q3.awaitTermination(120)
+    m = spark.read.parquet(f"{ck}/metrics")
+    last_run = (
+        m.orderBy(m.completed_at.desc()).select("run_id").first()["run_id"]
+    )
+    touched = m.where(m.run_id == last_run).select("tile_i", "tile_j").distinct().collect()
+    assert {(r["tile_i"], r["tile_j"]) for r in touched} == {(0, 0)}
+
+    from geo_polygonize_spark.operators.polygonize_op import tiled_polygonize
+
+    all_lines = spark.read.parquet(src)
+    want = tiled_polygonize(
+        all_lines, tile_size=5.0, buffer=1.5, bbox=(0.0, 0.0, float(n), float(n)),
+        drop_collapsed=True,
+    ).collect()
+    got = read_coverage(spark, ck).collect()
+    key = lambda rows: sorted((round(r["cx"], 6), round(r["cy"], 6), round(r["area"], 6)) for r in rows)
+    assert key(got) == key(want)
