@@ -73,3 +73,23 @@ def test_geojson_roundtrip():
     # shells+holes round-trip through the lines reader
     rx, ry = geojson_to_lines(text)
     assert len(rx) == sum(1 + len(p.holes) for p in polys)
+
+
+def test_cli_polygonize_file(tmp_path):
+    """scripts/polygonize_file.py end to end (the reference's only
+    end-user executable, examples/polygonize.rs) — one golden case in
+    CI; all six are validated by the kernel goldens above."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "nested.geojson"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/scripts/polygonize_file.py",
+         f"{REF}/data/nested_holes.geojson", str(out), "--cores", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    want_areas, want_count = _golden_areas(f"{REF}/output/nested_holes.geojson")
+    got_areas, got_count = _golden_areas(str(out))
+    assert got_count == want_count
+    assert np.allclose(sorted(got_areas), sorted(want_areas))

@@ -118,3 +118,96 @@ class TestANN:
         # top-1 is the query itself (cos=1) and must survive LSH
         # (identical vectors share every bucket)
         assert all(lsh1[k] == bf1[k] for k in bf1)
+
+
+class TestKeepers:
+    def test_connected_keepers_chain(self, spark):
+        from geo_polygonize_spark.operators.dedup import connected_keepers
+
+        # chain A~B~C plus an isolated pair and singletons
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 42)], "doc_id long")
+        out = {r["doc_id"]: r["keeper"] for r in connected_keepers(pairs, ids).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 42: 42}
+
+    def test_minhash_keepers_end_to_end(self, spark, docs):
+        from geo_polygonize_spark.operators.dedup import minhash_dedup_keepers
+
+        d = docs.where("doc_id < 30").select("doc_id", "text")
+        near = d.select((F.col("doc_id") + 100000).alias("doc_id"),
+                        F.concat("text", F.lit(" zz")).alias("text"))
+        out = {r["doc_id"]: r["keeper"]
+               for r in minhash_dedup_keepers(d.unionByName(near), jaccard_threshold=0.8).collect()}
+        assert len(out) == 60
+        for i in range(30):
+            # twin collapses onto the original (absent natural chains
+            # the keeper is the original id; with chains it is ≤ it)
+            assert out[i + 100000] <= i
+
+    def test_minhash_mega_bucket_star_no_blowup(self, spark):
+        from geo_polygonize_spark.operators.dedup import minhash_dedup_keepers
+
+        # 2000 identical documents: every band bucket is a mega bucket.
+        # All-pairs would be ~2M candidate rows per band; the star cap
+        # emits O(n) and the component still collapses to one keeper.
+        n = 2000
+        d = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same exact boilerplate text repeated for every document").alias("text"),
+        )
+        out = minhash_dedup_keepers(d, jaccard_threshold=0.8, max_bucket=64)
+        ks = [r["keeper"] for r in out.collect()]
+        assert len(ks) == n and set(ks) == {0}
+
+    def test_simhash_neardup_pairs_exact_recall(self, spark, docs):
+        import itertools
+
+        from geo_polygonize_spark.operators.dedup import simhash64, simhash_neardup_pairs
+
+        d = docs.where("doc_id < 120").select("doc_id", "text")
+        dup = d.where("doc_id < 25").select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        corpus = d.unionByName(dup)
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in simhash_neardup_pairs(corpus, k=3).collect()}
+        # brute-force ground truth over the same simhashes: banding has
+        # pigeonhole-exact recall for k<=3, so the sets must be EQUAL
+        sh = {r["doc_id"]: r["simhash"] for r in simhash64(corpus).select("doc_id", "simhash").collect()}
+        want = {}
+        for a, b in itertools.combinations(sorted(sh), 2):
+            h = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+        assert got == want
+        assert len(want) >= 25  # the planted hamming-0 dups are all in
+
+
+class TestANNSelfJoin:
+    def test_lsh_selfjoin_matches_numpy_replication(self, spark):
+        from geo_polygonize_spark.operators.ann import lsh_selfjoin_topk
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = lsh_selfjoin_topk(e, k=2, n_planes=8, dim=64)
+        assert "CartesianProduct" not in out._jdf.queryExecution().executedPlan().toString()
+        rows = out.collect()
+
+        pdf = e.toPandas()
+        V = np.stack([np.asarray(v, np.float64) for v in pdf.embedding])
+        ids = pdf.vec_id.to_numpy()
+        planes = np.random.default_rng(42).standard_normal((8, 64))
+        bits = (V @ planes.T) > 0
+        buckets = (bits * (1 << np.arange(8))).sum(axis=1)
+        want = {}
+        norm = V / np.linalg.norm(V, axis=1, keepdims=True)
+        for i in range(len(ids)):
+            probe = {int(buckets[i])} | {int(buckets[i]) ^ (1 << b) for b in range(8)}
+            cand = [j for j in range(len(ids)) if int(buckets[j]) in probe and j != i]
+            if not cand:
+                continue
+            sims = [(float(norm[i] @ norm[j]), -ids[j], j) for j in cand]
+            sims.sort(reverse=True)
+            for rank, (_, _, j) in enumerate(sims[:2]):
+                want[(int(ids[i]), rank)] = int(ids[j])
+        got = {(r["vec_id"], r["rank"]): r["neighbor_id"] for r in rows}
+        assert got == want
