@@ -235,6 +235,33 @@ def _q_knn_top1(spark, sf_dir):
     )
 
 
+def _q_knn_cells(spark, sf_dir):
+    # kNN scale path: cell-neighborhood candidate join + expanding
+    # radius (exact — the broadcast closure path's big-centroid-set
+    # sibling). Distances are sqrt of integer-derived doubles with
+    # plain multiplies: bit-identical in DuckDB, so floor(dist*1e6)
+    # compares exactly.
+    from geo_polygonize_spark.operators.spatial_join import knn_join_cells
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        F.expr(_PT_X).cast("double").alias("x"),
+        F.expr(_PT_Y).cast("double").alias("y"),
+    )
+    c = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("centroid_id"),
+        F.expr("CAST((s_suppkey * 7919) % 1000 AS DOUBLE)").alias("cx"),
+        F.expr("CAST((s_suppkey * 104729) % 1000 AS DOUBLE)").alias("cy"),
+    )
+    out = knn_join_cells(p, c, k=2, point_id="pid")
+    return out.select(
+        "pid",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("centroid_id").alias("nearest"),
+        F.floor(F.col("dist") * 1e6).cast("long").alias("dist_e6"),
+    )
+
+
 def _q_pip_rect(spark, sf_dir):
     # J2: point-in-polygon + smallest-containing-parent argmin
     p = _t(spark, sf_dir, "part").select(
@@ -530,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p13_bbox_agg": _q_bbox_agg,
         "p12_centroid_sum": _q_centroid_sum,
         "knn_top1": _q_knn_top1,
+        "knn_cells_top2": _q_knn_cells,
         "j2_pip_rect": _q_pip_rect,
         "o1_morton_cell": _q_morton_cell,
         "u1_union_distinct": _q_union_distinct,
@@ -804,6 +832,20 @@ def oracle_sql() -> dict[str, str]:
             f"(({_PT_X}) - c.cx) * (({_PT_X}) - c.cx) + (({_PT_Y}) - c.cy) * (({_PT_Y}) - c.cy), c.cid) AS rn, "
             f"(({_PT_X}) - c.cx) * (({_PT_X}) - c.cx) + (({_PT_Y}) - c.cy) * (({_PT_Y}) - c.cy) AS dist2 "
             f"FROM part CROSS JOIN (VALUES {cent_values}) AS c(cid, cx, cy)) WHERE rn = 1"
+        ),
+        "knn_cells_top2": (
+            "WITH p AS (SELECT p_partkey AS pid, "
+            f"CAST(({_PT_X}) AS DOUBLE) AS x, CAST(({_PT_Y}) AS DOUBLE) AS y FROM part), "
+            "c AS (SELECT s_suppkey AS nearest, "
+            "CAST((s_suppkey * 7919) % 1000 AS DOUBLE) AS cx, "
+            "CAST((s_suppkey * 104729) % 1000 AS DOUBLE) AS cy FROM supplier), "
+            "d AS (SELECT pid, nearest, "
+            "sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy)) AS dist, "
+            "ROW_NUMBER() OVER (PARTITION BY pid ORDER BY "
+            "sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy)), nearest) - 1 AS rnk "
+            "FROM p CROSS JOIN c) "
+            "SELECT pid, CAST(rnk AS BIGINT) AS rank, nearest, "
+            "CAST(floor(dist * 1e6) AS BIGINT) AS dist_e6 FROM d WHERE rnk < 2"
         ),
         "j2_pip_rect": (
             f"SELECT p_partkey, container, container_area FROM ("

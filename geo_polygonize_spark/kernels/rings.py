@@ -508,8 +508,8 @@ def assemble_polygons_pdf(
     per-polygon ``polygon_centroid`` recomputation. At 160k rings the
     object detour costs ~10 s of pure Python; this path is the one the
     Spark kernels (tiled per-tile assembly, stitched local assembly)
-    use. Column semantics identical to
-    ``_polygons_to_pdf(assemble_polygons(...))`` (same formulas, same
+    use. Column semantics identical to building rows from
+    ``assemble_polygons`` + ``polygon_centroid`` (same formulas, same
     degeneracy fallbacks).
     """
     import pandas as pd

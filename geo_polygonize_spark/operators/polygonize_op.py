@@ -43,12 +43,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..kernels.polygonize import (
-    DEFAULT_SNAP_GRID,
-    polygonize_segments,
-    polygonize_segments_pdf,
-)
-from ..kernels.rings import polygon_centroid
+from ..kernels.polygonize import DEFAULT_SNAP_GRID, polygonize_segments_pdf
 
 POLYGON_SCHEMA = T.StructType(
     [
@@ -78,28 +73,6 @@ def segmentize_df(lines_df: DataFrame) -> DataFrame:
         "(x, i) -> struct(x as x1, ys[i] as y1, xs[i + 1] as x2, ys[i + 1] as y2))"
     )
     return lines_df.select(F.explode(seg).alias("s")).select("s.x1", "s.y1", "s.x2", "s.y2")
-
-
-def _polygons_to_pdf(polys, tile_i: int, tile_j: int) -> pd.DataFrame:
-    cents = [polygon_centroid(p.shell_xs, p.shell_ys, p.holes) for p in polys]
-    # list columns must be object-dtype even when empty, else pandas
-    # infers float64 and Arrow can't cast to list<double>
-    obj = lambda v: pd.Series(v, dtype=object)
-    return pd.DataFrame(
-        {
-            "tile_i": np.full(len(polys), tile_i, dtype=np.int32),
-            "tile_j": np.full(len(polys), tile_j, dtype=np.int32),
-            "poly_id": np.arange(len(polys), dtype=np.int64),
-            "shell_xs": obj([p.shell_xs for p in polys]),
-            "shell_ys": obj([p.shell_ys for p in polys]),
-            "hole_xs": obj([[h[0] for h in p.holes] for p in polys]),
-            "hole_ys": obj([[h[1] for h in p.holes] for p in polys]),
-            "n_holes": np.asarray([len(p.holes) for p in polys], dtype=np.int32),
-            "area": np.asarray([p.area for p in polys], dtype=np.float64),
-            "cx": np.asarray([c[0] for c in cents], dtype=np.float64),
-            "cy": np.asarray([c[1] for c in cents], dtype=np.float64),
-        }
-    )
 
 
 def polygonize(

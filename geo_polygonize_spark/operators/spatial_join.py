@@ -35,7 +35,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..functions.cells import cell_range_cols
 
@@ -430,6 +430,112 @@ def knn_join(
     return nn.select(point_id, "x", "y", ranked.alias("r")).select(
         point_id, "x", "y", "r.rank", "r.centroid_id", "r.dist"
     )
+
+
+def knn_join_cells(
+    points: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    point_id: str = "image_id",
+    cells_per_axis: int | None = None,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """EXACT k nearest centroids per point for centroid sets too large
+    to broadcast (``knn_join`` is the closure-broadcast fast path; this
+    is the scale path named in the module docstring).
+
+    Round r uses a grid of side ``cell·2^r``: centroids replicate into
+    their 3×3 cell neighborhood (column exprs), points key to one
+    cell, the equi-join yields candidates, and a window takes the
+    top-k. A point is RESOLVED when it has k candidates and its k-th
+    distance is < cell side — any centroid outside the 3×3
+    neighborhood is ≥ one cell side away, so nothing closer was
+    missed. Unresolved points (sparse regions) retry on the doubled
+    grid; each round touches only the leftover points. Exact for every
+    resolved point; raises if points remain after ``max_rounds``
+    (pathological: fewer than k centroids in range — callers should
+    ensure k ≤ #centroids).
+
+    ``centroids``: DataFrame (centroid_id, cx, cy).
+    Output: (point_id, x, y, rank, centroid_id, dist) — the
+    ``knn_join`` schema.
+    """
+    spark = points.sparkSession
+    stats = centroids.agg(
+        F.min("cx").alias("x0"),
+        F.max("cx").alias("x1"),
+        F.min("cy").alias("y0"),
+        F.max("cy").alias("y1"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    n_cent = int(stats["n"])
+    if n_cent == 0:
+        raise ValueError("knn_join_cells: empty centroid table")
+    x0, y0 = float(stats["x0"]), float(stats["y0"])
+    span = max(float(stats["x1"]) - x0, float(stats["y1"]) - y0, 1e-300)
+    if cells_per_axis is None:
+        cells_per_axis = max(int(np.sqrt(n_cent)), 1)
+    base_cell = span / cells_per_axis
+
+    pending = points.select(point_id, "x", "y")
+    resolved_parts: list[DataFrame] = []
+    w = Window.partitionBy(point_id).orderBy("dist", "centroid_id")
+    for r in range(max_rounds):
+        cell = base_cell * (2.0**r)
+        ci = F.floor((F.col("cx") - F.lit(x0)) / F.lit(cell)).cast("long")
+        cj = F.floor((F.col("cy") - F.lit(y0)) / F.lit(cell)).cast("long")
+        cent_cells = (
+            centroids.withColumn("_ci", ci)
+            .withColumn("_cj", cj)
+            .withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .withColumn("dj", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .select(
+                (F.col("_ci") + F.col("di")).alias("cell_i"),
+                (F.col("_cj") + F.col("dj")).alias("cell_j"),
+                "centroid_id",
+                "cx",
+                "cy",
+            )
+        )
+        pts = pending.withColumn(
+            "cell_i", F.floor((F.col("x") - F.lit(x0)) / F.lit(cell)).cast("long")
+        ).withColumn("cell_j", F.floor((F.col("y") - F.lit(y0)) / F.lit(cell)).cast("long"))
+        dx = F.col("x") - F.col("cx")
+        dy = F.col("y") - F.col("cy")
+        # plain multiplies, not pow(·,2): bit-reproducible across
+        # engines (the driver oracle recomputes this in DuckDB)
+        cand = pts.join(cent_cells, ["cell_i", "cell_j"]).withColumn(
+            "dist", F.sqrt(dx * dx + dy * dy)
+        )
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w) - 1)
+            .where(F.col("rank") < k)
+            .select(point_id, "x", "y", "rank", "centroid_id", "dist")
+        )
+        # resolved: k candidates AND k-th distance strictly inside the
+        # cell-side guarantee radius
+        per_point = topk.groupBy(point_id).agg(
+            F.count("*").alias("_nk"), F.max("dist").alias("_dk")
+        )
+        ok_ids = per_point.where(
+            (F.col("_nk") >= k) & (F.col("_dk") < F.lit(cell))
+        ).select(point_id)
+        resolved_parts.append(topk.join(F.broadcast(ok_ids), point_id, "left_semi"))
+        # persisted: each later round (and the final union) re-reads it;
+        # leftovers after round 0 are tiny, GC unpersists at session end
+        pending = pending.join(F.broadcast(ok_ids), point_id, "left_anti").persist()
+        if pending.limit(1).count() == 0:
+            break
+    else:
+        if pending.limit(1).count() > 0:
+            raise RuntimeError(
+                f"knn_join_cells: unresolved points after {max_rounds} rounds "
+                "(k likely exceeds reachable centroids)"
+            )
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def nearest_centroid_cols(

@@ -87,6 +87,86 @@ def main() -> None:
     ]
     sections.append(("image_pipeline (payload passthrough): map-only streaming phase", p, checks))
 
+    import re
+
+    def detail_blocks(plan: str):
+        """(node header, block text) for each node in the formatted
+        plan's details section."""
+        parts = re.split(r"\n\((\d+)\) ", plan)
+        out = []
+        for i in range(1, len(parts), 2):
+            block = parts[i + 1]
+            header = block.splitlines()[0]
+            out.append((header, block))
+        return out
+
+    # 5. pip_join cells path: ring arrays must NOT ride the cell-join
+    # shuffle — only the per-polygon coords join carries them
+    from geo_polygonize_spark.operators.spatial_join import pip_join
+
+    pts2 = derive_points(images.select("image_id"), (0.0, 0.0, 12.0, 12.0))
+    pj = pip_join(pts2, polys, 0.0, 0.0, 1.0, salt=4)
+    p = plan_of(pj)
+    blocks = detail_blocks(p)
+    # the coords join (by pkey) legitimately shuffles ring arrays ONCE
+    # per polygon; the violation is arrays riding the cell-key join
+    cell_exch_with_arrays = [
+        h for h, b in blocks
+        if h.startswith("Exchange") and "cell_i" in b and "shell_xs" in b
+    ]
+    gen_with_arrays = [
+        h for h, b in blocks if h.startswith("Generate") and "shell_xs" in b.split("Output")[-1]
+    ]
+    checks = [
+        ("cell-key Exchanges carry no ring arrays (narrow cell join)", len(cell_exch_with_arrays) == 0),
+        ("cell explode output pruned of ring arrays", len(gen_with_arrays) == 0),
+        ("per-polygon batch PIP kernel (MapInPandas)", "MapInPandas" in p),
+        ("no cartesian product", "CartesianProduct" not in p),
+    ]
+    sections.append(("pip_join (cells): narrow join, rings cross once per polygon", p, checks))
+
+    # 6. stitched polygonize: beacon-pruned lazy level chain
+    from geo_polygonize_spark.operators.stitch import stitched_polygonize
+
+    st = stitched_polygonize(
+        lines, tile_size=4.0, buffer=1.5, bbox=(0.0, 0.0, 12.0, 12.0),
+        drop_collapsed=True, assembly="distributed", max_segments_per_tile=None,
+    )
+    p = plan_of(st)
+    n_levels = 3  # extent 12 / tile 4 → levels 4, 8, 16
+    kernel_nodes = [h for h, _ in detail_blocks(p) if h.startswith("FlatMapGroupsInPandas")]
+    checks = [
+        # each level's kernel output is persisted and consumed twice
+        # (ring union + next level's beacon pruning); explain() prints
+        # the subtree once per consumer, execution dedupes via the
+        # cache — so the plan shows ≤ 2 kernels per level and MUST show
+        # the InMemoryRelation that makes the reuse real
+        ("one trace kernel per level (≤2 plan copies via cache reuse)",
+         n_levels <= len(kernel_nodes) <= 2 * n_levels and "InMemoryRelation" in p),
+        ("beacon tile pruning is broadcast (no shuffle semi-join)",
+         "BroadcastHashJoin" in p and p.count("LeftSemi") >= n_levels - 1),
+        ("no cartesian product", "CartesianProduct" not in p),
+    ]
+    sections.append(("stitched_polygonize: beacon-pruned level chain", p, checks))
+
+    # 7. minhash LSH: shingle arrays cross only the verify join, never
+    # the band-bucket self-join
+    from geo_polygonize_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    mh = minhash_lsh_dedup(docs, jaccard_threshold=0.7)
+    p = plan_of(mh)
+    blocks = detail_blocks(p)
+    band_exch_with_sh = [
+        h for h, b in blocks
+        if h.startswith("Exchange") and "band_key" in b and "shingle_hashes" in b
+    ]
+    checks = [
+        ("band-bucket shuffle carries keys+ids only", len(band_exch_with_sh) == 0),
+        ("no cartesian product", "CartesianProduct" not in p),
+    ]
+    sections.append(("minhash_lsh_dedup: narrow band self-join", p, checks))
+
     lines_out = ["# PLANS — physical-plan evidence for the hot paths\n"]
     ok_all = True
     for title, plan, checks in sections:

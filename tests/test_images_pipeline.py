@@ -276,3 +276,33 @@ class TestCheckpoint:
         cov = read_checkpointed_coverage(spark, str(tmp_path / "nope"))
         assert cov.count() == 0
         assert "shell_xs" in cov.columns
+
+
+class TestKnnCells:
+    def test_knn_cells_equals_broadcast(self, spark):
+        """The cell-neighborhood kNN (huge-centroid scale path) must
+        return exactly the broadcast path's result, including the
+        expanding-radius rounds for sparse regions."""
+        import numpy as np
+
+        from geo_polygonize_spark.operators.spatial_join import knn_join, knn_join_cells
+
+        rng = np.random.default_rng(7)
+        cents = [(int(i), float(x), float(y)) for i, (x, y) in
+                 enumerate(rng.uniform(0, 1000, (300, 2)))]
+        # points include a far-outlier cluster to force round > 0
+        pts = rng.uniform(0, 1000, (2000, 2)).tolist() + [[5000.0, 5000.0], [-900.0, 17.0]]
+        pts_df = spark.createDataFrame(
+            [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(pts)],
+            "image_id string, x double, y double",
+        )
+        cent_df = spark.createDataFrame(cents, "centroid_id long, cx double, cy double")
+        got = {
+            (r["image_id"], r["rank"]): (r["centroid_id"], round(r["dist"], 9))
+            for r in knn_join_cells(pts_df, cent_df, k=3).collect()
+        }
+        want = {
+            (r["image_id"], r["rank"]): (r["centroid_id"], round(r["dist"], 9))
+            for r in knn_join(pts_df, cents, k=3).collect()
+        }
+        assert got == want
