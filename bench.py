@@ -172,6 +172,42 @@ def main() -> None:
     for name in ("p3_p7_dedup_distinct", "o4_j2_argmin_parent", "j2_pip_rect", "o1_morton_cell"):
         timed(name, lambda name=name: qs[name](spark, sf_dir).count())
 
+    # ---- training-data dedup at corpus scale -------------------------
+    # 100k synthetic docs (40 tokens from a 5k vocab, ~330 chars) +
+    # 10k ' zz' near-dup twins → shingle → minhash → narrow band join →
+    # Jaccard verify → connected-components keepers, end to end
+    from geo_polygonize_spark.operators.dedup import minhash_dedup_keepers
+
+    n_docs = 30_000
+    # hex tokens: the char-5-gram space is huge, so unrelated docs have
+    # near-zero Jaccard (a shared-prefix vocab like "tokNNN" collapses
+    # the shingle space and floods the band join with real candidates —
+    # that's a worst case, not a throughput benchmark)
+    toks = [F.hex(F.xxhash64(F.col("id"), F.lit(j))) for j in range(20)]
+    corpus_path = f"/tmp/bench_docs_hex_{n_docs}.parquet"
+    if not os.path.exists(corpus_path):
+        base = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", *toks).alias("text")
+        )
+        dups = base.where("doc_id % 10 = 0").select(
+            (F.col("doc_id") + n_docs).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+        base.unionByName(dups).repartition(max(cpus, 8)).write.mode("overwrite").parquet(
+            corpus_path
+        )
+    corpus = spark.read.parquet(corpus_path)
+    n_corpus = corpus.count()
+
+    def dedup_job():
+        return minhash_dedup_keepers(corpus, jaccard_threshold=0.8).where(
+            "doc_id <> keeper"
+        ).count()
+
+    n_dupes = timed("minhash_keepers_33k", dedup_job, repeat=1)
+    assert n_dupes >= n_docs // 10, f"dedup found only {n_dupes} dupes"
+    docs_per_sec = round(n_corpus / timings["minhash_keepers_33k"], 1)
+
     print(
         json.dumps(
             {
@@ -183,6 +219,7 @@ def main() -> None:
                 "cpus": cpus,
                 "n_images": n_images,
                 "n_pipeline_rows": n_out,
+                "dedup_docs_per_sec": docs_per_sec,
             }
         )
     )

@@ -108,6 +108,11 @@ def minhash_lsh_dedup(
       are near-dups of each other but NOT of the anchor.
     """
     rows_per_band = num_hashes // bands
+    # deliberately NOT persisted: Catalyst pulls the shingle expression
+    # ABOVE the verify join, so the a/b sides compute shingles only for
+    # the matched candidate rows (~pairs), not the whole corpus —
+    # measured 3× faster at 110k docs than caching the full shingle
+    # table (which forces corpus-wide materialization)
     shingled = shingle_hashes(df, text, shingle_n).select(id_col, "shingle_hashes")
     base = minhash_signature(shingled, num_hashes, seed)
 
