@@ -95,3 +95,36 @@ def test_three_paths_agree(spark, seed):
     )
     assert tiled == want
     assert stitched == want
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_stitched_skew_split_agrees_with_global(spark, seed):
+    """Random linework with FORCED level-0 sub-splits: beacon
+    escalation across sub-windows must still reproduce the global
+    polygonize exactly."""
+    from geo_polygonize_spark.operators.polygonize_op import polygonize
+    from geo_polygonize_spark.operators.stitch import stitched_polygonize
+
+    from .conftest import lines_to_df
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 40, size=(70, 4))
+    xs = [np.array([p[0], p[2]]) for p in pts]
+    ys = [np.array([p[1], p[3]]) for p in pts]
+    df = lines_to_df(spark, xs, ys)
+    key = lambda rows: sorted(
+        (round(r["cx"], 5), round(r["cy"], 5), round(r["area"], 5), r["n_holes"]) for r in rows
+    )
+    want = key(polygonize(df, node_input=True, drop_collapsed=True).collect())
+    got = key(
+        stitched_polygonize(
+            df,
+            tile_size=10.0,
+            buffer=4.0,
+            bbox=(0.0, 0.0, 40.0, 40.0),
+            drop_collapsed=True,
+            max_segments_per_tile=15,
+            max_split_factor=3,
+        ).collect()
+    )
+    assert got == want

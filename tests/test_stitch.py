@@ -122,3 +122,34 @@ def test_stitched_subsplit_recovers_big_polygons(spark):
         max_split_factor=3,
     ).collect()
     assert sorted(round(r["area"], 6) for r in got) == [400.0, 3200.0, 6400.0]
+
+
+def test_stitched_far_from_origin(spark):
+    """Grid shifted to 1e9: the vectorized batch_ring_stats recentres
+    per ring before the shoelace (a naive x·y shoelace returns 0.0 out
+    there), and canonical rotation must stay bit-deterministic."""
+    n = 6
+    xs, ys = grid_lines(n)
+    off = 1.0e9
+    xs = [[v + off for v in x] for x in xs]
+    ys = [[v + off for v in y] for y in ys]
+    df = lines_to_df(spark, xs, ys)
+    bbox = (off, off, off + n, off + n)
+    got = stitched_polygonize(
+        df, tile_size=3.0, buffer=1.5, bbox=bbox, drop_collapsed=True
+    ).collect()
+    assert len(got) == n * n
+    assert all(abs(r["area"] - 1.0) < 1e-5 for r in got)
+
+
+def test_stitched_dangle_only_input(spark):
+    # open segments only: no rings anywhere; every trace either prunes
+    # or escapes, assembly of an empty ring set must return cleanly
+    xs = [[0.0, 4.0], [1.0, 5.0], [2.0, 2.0]]
+    ys = [[0.0, 0.5], [2.0, 2.5], [3.0, 4.0]]
+    df = lines_to_df(spark, xs, ys)
+    for assembly in ("local", "distributed"):
+        got = stitched_polygonize(
+            df, tile_size=2.0, buffer=1.0, bbox=(0.0, 0.0, 6.0, 6.0), assembly=assembly
+        ).collect()
+        assert got == []
