@@ -340,6 +340,16 @@ def _q_doc_dedup(spark, sf_dir):
     )
 
 
+def _q_text_analysis(spark, sf_dir):
+    # text-analysis operator set: language-ID (stopword-vote argmax),
+    # token count, quality score, rolling-hash fingerprint — all pure
+    # column expressions with bit-identical DuckDB twins
+    from geo_polygonize_spark.operators.text import analyze_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return analyze_documents(d).select("doc_id", "lang_id", "n_tokens", "quality", "fingerprint")
+
+
 def _q_running_sum(spark, sf_dir):
     # window frame: running accumulator (ring accumulation analog, A5)
     e = _t(spark, sf_dir, "events")
@@ -564,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": _q_doc_tokens,
         "doc_quality_score": _q_doc_quality,
         "doc_dedup_exact": _q_doc_dedup,
+        "doc_text_analysis": _q_text_analysis,
         "a5_running_sum": _q_running_sum,
         "g_polygonize_nested_holes": _q_polygonize_fixture,
         "g_tiled_grid20": _q_tiled_grid,
@@ -757,6 +768,23 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def _oracle_text_analysis() -> str:
+    from geo_polygonize_spark.operators.text import (
+        fingerprint_sql,
+        language_id_sql,
+        quality_score_sql,
+        token_count_sql,
+    )
+
+    return (
+        f"SELECT doc_id, {language_id_sql('text', 'duckdb')} AS lang_id, "
+        f"{token_count_sql('text', 'duckdb')} AS n_tokens, "
+        f"{quality_score_sql('text', 'duckdb')} AS quality, "
+        f"CAST({fingerprint_sql('text', 'duckdb')} AS BIGINT) AS fingerprint "
+        "FROM documents"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     cent_values = ", ".join(f"({c}, {x}, {y})" for c, x, y in _CENTROIDS)
     rect_values = ", ".join(
@@ -876,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS keeper "
             "FROM documents GROUP BY md5(text)"
         ),
+        "doc_text_analysis": _oracle_text_analysis(),
         "a5_running_sum": (
             "SELECT event_id, user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
             "PARTITION BY user_id ORDER BY event_id "

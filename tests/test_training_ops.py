@@ -211,3 +211,45 @@ class TestANNSelfJoin:
                 want[(int(ids[i]), rank)] = int(ids[j])
         got = {(r["vec_id"], r["rank"]): r["neighbor_id"] for r in rows}
         assert got == want
+
+
+class TestTextAnalysis:
+    def test_analyze_documents(self, spark):
+        from geo_polygonize_spark.operators.text import analyze_documents
+
+        d = spark.createDataFrame(
+            [
+                (0, "the quick fox and the lazy dog of the hill"),
+                (1, "der hund und die katze und der vogel ist da"),
+                (2, "le chat est sur la table et le lit"),
+                (3, ""),
+                (4, "one two"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in analyze_documents(d).collect()}
+        assert rows[0]["lang_id"] == "en"
+        assert rows[1]["lang_id"] == "de"
+        assert rows[2]["lang_id"] == "fr"
+        assert rows[0]["n_tokens"] == 10
+        assert rows[3]["n_tokens"] == 0 and rows[3]["quality"] == 0
+        assert rows[4]["n_tokens"] == 2
+
+    def test_fingerprint_is_order_sensitive(self, spark):
+        from geo_polygonize_spark.operators.text import analyze_documents
+
+        d = spark.createDataFrame(
+            [(0, "ab cd"), (1, "cd ab")], "doc_id long, text string"
+        )
+        fp = {r["doc_id"]: r["fingerprint"] for r in analyze_documents(d).collect()}
+        assert fp[0] != fp[1]  # rolling hash, not a bag hash
+
+    def test_fingerprint_matches_python_fold(self, spark):
+        from geo_polygonize_spark.operators.text import M31, analyze_documents
+
+        text = "hello spark"
+        h = 0
+        for ch in text:
+            h = (h * 131 + ord(ch)) % M31
+        d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        assert analyze_documents(d).collect()[0]["fingerprint"] == h
