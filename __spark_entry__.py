@@ -467,6 +467,25 @@ def _q_minhash_neardup(spark, sf_dir):
     )
 
 
+def _q_media_features(spark, sf_dir):
+    # multimodal op: decode → feature-extract (channel means, luma
+    # variance, recomputed phash) over the deterministic synthetic
+    # image table; per-image integer quantization BEFORE the sum keeps
+    # the aggregate exact under any partitioning, so the oracle is a
+    # literal (sf-independent: synth_images(300) everywhere)
+    from geo_polygonize_spark.operators.media import image_features
+    from geo_polygonize_spark.sources.images import synth_images
+
+    feats = image_features(synth_images(spark, 300))
+    return feats.agg(
+        F.count("*").alias("n"),
+        F.sum("w").alias("sum_w"),
+        F.sum(F.floor(F.col("mean_r") * 1e6).cast("long")).alias("sum_mean_r_e6"),
+        F.sum(F.floor(F.col("luma_var") * 1e3).cast("long")).alias("sum_luma_var_e3"),
+        F.bit_xor("phash").alias("phash_xor"),
+    )
+
+
 def _q_minhash_keepers(spark, sf_dir):
     # connected-components keeper resolution over the near-dup graph
     from geo_polygonize_spark.operators.dedup import minhash_dedup_keepers
@@ -536,6 +555,21 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_emb_neardup(spark, sf_dir):
+    # embedding-cosine near-dup pairs (the vector-side dedup): corpus =
+    # embeddings ∪ exact twins at vec_id+1e6 (cosine 1.0 — same bucket
+    # by construction, so recall is deterministic). Oracle = the same
+    # LSH algorithm in DuckDB.
+    from geo_polygonize_spark.operators.ann import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    pairs = embedding_neardup_pairs(e.unionByName(twins), threshold=0.95, n_planes=8, dim=64)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9")
+    )
+
+
 def _q_ann_selfjoin(spark, sf_dir):
     # corpus-vs-corpus ANN: every row is a query (bucket-keyed
     # equi-self-join + multiprobe, no crossJoin). Oracle = the same
@@ -582,11 +616,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top5": _q_ann_cosine,
         "ann_lsh_top3": _q_ann_lsh,
         "ann_selfjoin_top2": _q_ann_selfjoin,
+        "emb_neardup_pairs": _q_emb_neardup,
         "doc_minhash_neardup": _q_minhash_neardup,
         "doc_minhash_keepers": _q_minhash_keepers,
         "doc_simhash_groups": _q_simhash_groups,
         "doc_simhash_near": _q_simhash_near,
         "g_image_pipeline": _q_image_pipeline,
+        "g_media_features": _q_media_features,
     }
 
 
@@ -675,6 +711,29 @@ corpus AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text FROM documents WHERE doc_id < 100
 )"""
+
+
+def _oracle_emb_neardup() -> str:
+    planes = _duck_planes(8)
+    probes = ["SELECT vec_id, embedding, bucket AS pb FROM b"] + [
+        f"SELECT vec_id, embedding, xor(bucket, {1 << i}) AS pb FROM b" for i in range(8)
+    ]
+    cos = _DUCK_COS.format(a="va", b="vb")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+),
+b AS (SELECT vec_id, embedding, {_duck_bucket('embedding', planes)} AS bucket FROM corpus),
+probes AS ({' UNION ALL '.join(probes)}),
+cand AS (
+  SELECT p.vec_id AS id_a, p.embedding AS va, t.vec_id AS id_b, t.embedding AS vb
+  FROM probes p JOIN b t ON t.bucket = p.pb WHERE p.vec_id < t.vec_id
+),
+scored AS (SELECT id_a, id_b, {cos} AS cos FROM cand)
+SELECT id_a, id_b, CAST(floor(cos * 1e9) AS BIGINT) AS cos_e9
+FROM scored WHERE cos >= 0.95
+"""
 
 
 def _oracle_minhash_pairs() -> str:
@@ -945,9 +1004,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_top3": _oracle_ann_lsh(),
         "ann_selfjoin_top2": _oracle_ann_selfjoin(),
+        "emb_neardup_pairs": _oracle_emb_neardup(),
         # ---- dedup: exact-Jaccard expected sets + portable-hash replicas
         "doc_minhash_neardup": _oracle_minhash_pairs(),
         "doc_minhash_keepers": _oracle_minhash_keepers(),
         "doc_simhash_groups": _oracle_simhash_groups(),
         "doc_simhash_near": _oracle_simhash_near(),
+        # deterministic synthetic images → fixed feature aggregates
+        # (captured from the real decode; phash lineage verified by
+        # TestPayload / TestMediaOps)
+        "g_media_features": (
+            "SELECT CAST(300 AS BIGINT) AS n, CAST(9600 AS BIGINT) AS sum_w, "
+            "CAST(37780211783 AS BIGINT) AS sum_mean_r_e6, "
+            "CAST(632513321 AS BIGINT) AS sum_luma_var_e3, "
+            "CAST(-6009186084481360197 AS BIGINT) AS phash_xor"
+        ),
     }

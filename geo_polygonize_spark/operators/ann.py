@@ -114,6 +114,57 @@ def cosine_topk_bruteforce(
     )
 
 
+def embedding_neardup_pairs(
+    table: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (a, b) with
+    cosine ≥ ``threshold`` among LSH candidates (same bucket or
+    Hamming-1 with ``multiprobe``). Output (id_a, id_b, cosine),
+    id_a < id_b. Recall follows the hyperplane-LSH collision bound —
+    at near-dup thresholds (θ small) a candidate is missed with
+    probability ≤ (1−(1−θ/π)^p)·(1−p·…) ≈ tiny; lower ``n_planes``
+    raises recall at the cost of candidate volume.
+
+    Compose with ``dedup.connected_keepers`` for doc→keeper mapping —
+    the embedding-side sibling of minhash_dedup_keepers.
+    """
+    if dim is None:
+        dim = len(table.select(vec_col).first()[0])
+    b = hyperplane_bucket(table, dim, n_planes, seed, vec_col)
+    if multiprobe:
+        probe_arr = F.array(
+            F.col("bucket"), *[F.expr(f"bucket ^ {1 << i}") for i in range(n_planes)]
+        )
+    else:
+        probe_arr = F.array(F.col("bucket"))
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.explode(probe_arr).alias("pb")
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket").alias("pb")
+    )
+    # id_a < id_b keeps each unordered pair once per matching probe; a
+    # pair can match at most one probe value (probe values distinct)
+    cand = left.join(right, "pb").where(F.col("id_a") < F.col("id_b"))
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (a, b) -> cast(a as double) * cast(b as double)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    na = F.expr("sqrt(aggregate(va, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))")
+    nb = F.expr("sqrt(aggregate(vb, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))")
+    return (
+        cand.select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_bucket(
     df: DataFrame,
     dim: int,

@@ -306,3 +306,53 @@ class TestKnnCells:
             for r in knn_join(pts_df, cents, k=3).collect()
         }
         assert got == want
+
+
+class TestMediaOps:
+    def test_image_features_match_source(self, spark):
+        from geo_polygonize_spark.operators.media import image_features
+
+        images = synth_images(spark, 24, seed=42).cache()
+        feats = {r["image_id"]: r for r in image_features(images).collect()}
+        assert len(feats) == 24
+        stored = {r["image_id"]: r for r in images.collect()}
+        for iid, f in list(feats.items())[:8]:
+            src = stored[iid]
+            px = png_decode(bytes(src["bytes"]))
+            assert f["w"] == src["w"] and f["h"] == src["h"]
+            np.testing.assert_allclose(f["mean_r"], px[:, :, 0].astype(float).mean())
+            if src["fmt"] == "png":
+                # phash recomputed from bytes equals the stored lineage
+                assert f["phash"] == src["phash"]
+
+    def test_resize_roundtrip_nearest(self, spark):
+        from geo_polygonize_spark.operators.media import resize_images
+
+        images = synth_images(spark, 8, seed=42)
+        out = {r["image_id"]: r for r in resize_images(images, 16, 12).collect()}
+        src = {r["image_id"]: r for r in images.collect()}
+        for iid, r in out.items():
+            assert (r["w"], r["h"]) == (16, 12)
+            got = png_decode(bytes(r["bytes"]))
+            px = png_decode(bytes(src[iid]["bytes"]))
+            h, w = px.shape[0], px.shape[1]
+            yi = np.minimum((np.arange(12) * h) // 12, h - 1)
+            xi = np.minimum((np.arange(16) * w) // 16, w - 1)
+            assert np.array_equal(got, px[yi][:, xi])
+
+    def test_frame_sample_fanout(self, spark):
+        from geo_polygonize_spark.operators.media import frame_sample
+
+        vids = spark.createDataFrame(
+            [("v0", bytearray(b"\x01\x02\x03\x04"), 53), ("v1", bytearray(b"\xff"), 9)],
+            "media_id string, bytes binary, n_frames int",
+        )
+        rows = frame_sample(vids, every_n=10).collect()
+        by_vid = {}
+        for r in rows:
+            by_vid.setdefault(r["media_id"], []).append(r)
+        assert sorted(r["frame_idx"] for r in by_vid["v0"]) == [0, 10, 20, 30, 40, 50]
+        assert sorted(r["frame_idx"] for r in by_vid["v1"]) == [0]
+        f10 = next(r for r in by_vid["v0"] if r["frame_idx"] == 10)
+        assert f10["t_ms"] == 400  # 10 frames at 25 fps
+        assert len(bytes(f10["frame_bytes"])) == 16

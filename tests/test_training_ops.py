@@ -253,3 +253,28 @@ class TestTextAnalysis:
             h = (h * 131 + ord(ch)) % M31
         d = spark.createDataFrame([(0, text)], "doc_id long, text string")
         assert analyze_documents(d).collect()[0]["fingerprint"] == h
+
+    def test_embedding_neardup_pairs_and_keepers(self, spark):
+        from geo_polygonize_spark.operators.ann import embedding_neardup_pairs
+        from geo_polygonize_spark.operators.dedup import connected_keepers
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+        twins = e.where("vec_id < 50").select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        corpus = e.unionByName(twins)
+        pairs = embedding_neardup_pairs(corpus, threshold=0.95, n_planes=8, dim=64)
+        rows = pairs.collect()
+        got = {(r["id_a"], r["id_b"]) for r in rows}
+        # identical twins share a bucket deterministically → all found
+        assert {(i, i + 100000) for i in range(50)} <= got
+        assert all(r["cosine"] >= 0.95 for r in rows)
+        ids = corpus.select(F.col("vec_id").alias("doc_id"))
+        keepers = {
+            r["doc_id"]: r["keeper"]
+            for r in connected_keepers(
+                pairs.select(F.col("id_a"), F.col("id_b")), ids, id_col="doc_id"
+            ).collect()
+        }
+        for i in range(50):
+            assert keepers[i + 100000] == keepers[i] <= i
