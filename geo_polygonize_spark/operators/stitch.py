@@ -254,13 +254,16 @@ def stitched_polygonize(
     rings = level_rings[0]
     for df in level_rings[1:]:
         rings = rings.unionByName(df)
-    # cross-level dedup: a ring may be emitted at every level ≥ its
-    # minimal fitting level that still traces it; the canonical
-    # rotation makes the coordinate arrays (hence the hash) identical,
-    # so one survives
-    rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).dropDuplicates(["rid"]).drop(
-        "beacon"
-    )
+    # NO cross-level dedup shuffle — emission is unique by
+    # construction: the level grids are NESTED (factor 2, same
+    # anchor), so a ring's owner core at level k lies inside its owner
+    # core at k+1 and fits(k) ⇒ fits(k+1); the minimal-level skip test
+    # (fits at k-1 → don't emit at k) therefore rejects every level
+    # above the first fitting one, and within a level exactly one
+    # (sub-)tile owns the centroid. The three-way equivalence and
+    # skew-split property tests pin this down. rid = canonical ring
+    # hash (rotation-normalized arrays) for the assembly joins.
+    rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).drop("beacon")
 
     if assembly not in ("auto", "local", "distributed"):
         raise ValueError(f"assembly must be auto|local|distributed, got {assembly!r}")
@@ -419,14 +422,22 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
 def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -> DataFrame:
     """Distributed assembly over a global ring set (the DataFrame
     translation of kernels.rings.assemble_polygons; same semantics,
-    reference polygonizer.rs:124-261)."""
-    shells = rings.where("area > 0").select(
-        "rid", "xs", "ys", F.col("area").alias("s_area"), "bx1", "by1", "bx2", "by2", "cx", "cy"
+    reference polygonizer.rs:124-261).
+
+    Shuffle discipline: every classification / promotion / candidate /
+    winner stage runs over NARROW metadata rows (rid, area, bbox,
+    centroid — 72 bytes). Ring coordinate arrays cross the wire in
+    exactly three bounded places: once per candidate-bearing shell
+    into the PIP kernel, once per ASSIGNED hole into the hole
+    aggregation, and once per output polygon in the final attach —
+    never per candidate row, never through the promotion joins."""
+    coords = rings.select("rid", "xs", "ys")
+    meta = rings.select("rid", "area", "bx1", "by1", "bx2", "by2", "cx", "cy")
+    shells = meta.where("area > 0").select(
+        "rid", F.col("area").alias("s_area"), "bx1", "by1", "bx2", "by2", "cx", "cy"
     )
-    holes = rings.where("area < 0").select(
+    holes = meta.where("area < 0").select(
         F.col("rid").alias("h_rid"),
-        F.col("xs").alias("h_xs"),
-        F.col("ys").alias("h_ys"),
         (-F.col("area")).alias("h_area"),
         F.col("bx1").alias("hbx1"),
         F.col("by1").alias("hby1"),
@@ -450,8 +461,6 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
     ).select("h_rid")
     promoted = holes.join(twins, "h_rid", "left_anti").select(
         F.col("h_rid").alias("rid"),
-        F.reverse("h_xs").alias("xs"),  # re-wind CCW (polygonizer.rs:164-169)
-        F.reverse("h_ys").alias("ys"),
         F.col("h_area").alias("s_area"),
         F.col("hbx1").alias("bx1"),
         F.col("hby1").alias("by1"),
@@ -459,8 +468,9 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
         F.col("hby2").alias("by2"),
         F.col("hcx").alias("cx"),
         F.col("hcy").alias("cy"),
+        F.lit(True).alias("promoted"),
     )
-    all_shells = shells.unionByName(promoted)
+    all_shells = shells.withColumn("promoted", F.lit(False)).unionByName(promoted)
 
     # --- hole assignment: bbox cell-join + PIP(hole centroid) --------
     # cell grid sized from the shell bbox distribution (driver-side agg
@@ -507,17 +517,30 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
     )
     # group candidates per shell, then join the shell's ring arrays by
     # rid — coordinates cross the wire exactly once per shell; the PIP
-    # kernel is many-probes-vs-one-ring (y-bucketed for huge rings)
+    # kernel is many-probes-vs-one-ring (y-bucketed for huge rings).
+    # Promoted shells join the ORIGINAL (reversed) ring — orientation
+    # does not change even-odd containment.
+    # persisted: consumed by the broadcast key prune AND the coords
+    # join — an unpersisted broadcast build would re-execute the whole
+    # candidate pipeline a second time
     per_shell = cand.groupBy("rid", "s_area").agg(
-        F.collect_list(F.struct("h_rid", "hcx", "hcy")).alias("probes")
+        F.collect_list(F.struct("h_rid", "hcx", "hcy", "h_area")).alias("probes")
+    ).persist()
+    # broadcast-semi prune coords BEFORE its shuffle: only the
+    # candidate-bearing shells' arrays move (an unpruned join by rid
+    # would shuffle EVERY ring's arrays — measured as the dominant
+    # assembly bytes)
+    cand_shells = coords.join(
+        F.broadcast(per_shell.select("rid")), "rid", "left_semi"
     )
-    with_coords = per_shell.join(all_shells.select("rid", "xs", "ys"), "rid")
+    with_coords = per_shell.join(cand_shells, "rid")
 
     hit_schema = T.StructType(
         [
             T.StructField("h_rid", T.LongType()),
             T.StructField("rid", T.LongType()),
             T.StructField("s_area", T.DoubleType()),
+            T.StructField("h_area_back", T.DoubleType()),
         ]
     )
 
@@ -532,6 +555,7 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
                 px = np.fromiter((p["h_rid"] for p in probes), np.int64, len(probes))
                 pxx = np.fromiter((p["hcx"] for p in probes), np.float64, len(probes))
                 pyy = np.fromiter((p["hcy"] for p in probes), np.float64, len(probes))
+                ha = np.fromiter((p["h_area"] for p in probes), np.float64, len(probes))
                 ring_x = np.asarray(row.xs, np.float64)
                 ring_y = np.asarray(row.ys, np.float64)
                 inside = _pip_many_vs_ring(pxx, pyy, ring_x, ring_y)
@@ -542,18 +566,22 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
                             "h_rid": px[sel],
                             "rid": np.full(sel.size, row.rid, np.int64),
                             "s_area": np.full(sel.size, row.s_area, np.float64),
+                            "h_area_back": ha[sel],
                         }
                     )
 
     hit = with_coords.mapInPandas(pip_hits, hit_schema)
-    assigned = (
+    winners = (
         hit.groupBy("h_rid")
-        .agg(F.min_by(F.struct("rid"), "s_area").alias("best"))
-        .select("h_rid", F.col("best.rid").alias("rid"))
-        .join(
-            holes.select("h_rid", "h_xs", "h_ys", "h_area"), "h_rid"
-        )  # hole ring arrays: once per assigned hole, by id
+        .agg(F.min_by(F.struct("rid"), "s_area").alias("best"), F.min("h_area_back").alias("h_area"))
+        .select("h_rid", F.col("best.rid").alias("rid"), "h_area")
+        .persist()  # read by its own broadcast key prune + the join
     )
+    hole_coords = coords.select(
+        F.col("rid").alias("h_rid"), F.col("xs").alias("h_xs"), F.col("ys").alias("h_ys")
+    ).join(F.broadcast(winners.select("h_rid")), "h_rid", "left_semi")
+    # hole ring arrays: once per ASSIGNED hole, by id
+    assigned = winners.join(hole_coords, "h_rid")
 
     hole_agg = assigned.groupBy("rid").agg(
         F.collect_list("h_xs").alias("hole_xs"),
@@ -570,12 +598,15 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
     )
     if drop_collapsed:
         out = out.where(F.col("net_area") > 1e-6)  # polygonizer.rs:255-258
+    # single arrays attach per output polygon; promoted shells re-wind
+    # CCW here (polygonizer.rs:164-169)
+    out = out.join(coords, "rid")
     return out.select(
         F.lit(-2).cast("int").alias("tile_i"),  # stitched marker
         F.lit(-2).cast("int").alias("tile_j"),
         F.col("rid").alias("poly_id"),
-        F.col("xs").alias("shell_xs"),
-        F.col("ys").alias("shell_ys"),
+        F.when(F.col("promoted"), F.reverse("xs")).otherwise(F.col("xs")).alias("shell_xs"),
+        F.when(F.col("promoted"), F.reverse("ys")).otherwise(F.col("ys")).alias("shell_ys"),
         F.coalesce("hole_xs", F.array().cast("array<array<double>>")).alias("hole_xs"),
         F.coalesce("hole_ys", F.array().cast("array<array<double>>")).alias("hole_ys"),
         "n_holes",
