@@ -545,30 +545,65 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
     )
 
     def pip_hits(batches):
+        """Two regimes per Arrow batch: HEAVY shells (probes × ring
+        length > 4M) go through the y-bucketed per-ring index; the
+        long tail of small shells (typically 1-2 probes each) flattens
+        into ONE length-grouped dense ray cast for the whole batch —
+        per-row numpy setup on 10⁵ tiny groups was the dominant
+        assembly CPU."""
         from ..kernels.rings import _pip_many_vs_ring
+        from .spatial_join import _ray_cast_rows
 
         for pdf in batches:
+            hr: list = []
+            rr: list = []
+            sa: list = []
+            ha_out: list = []
+            flat_px: list = []
+            flat_py: list = []
+            flat_rings: list = []
+            flat_meta: list = []
             for row in pdf.itertuples(index=False):
                 probes = row.probes
                 if len(probes) == 0:
                     continue
-                px = np.fromiter((p["h_rid"] for p in probes), np.int64, len(probes))
-                pxx = np.fromiter((p["hcx"] for p in probes), np.float64, len(probes))
-                pyy = np.fromiter((p["hcy"] for p in probes), np.float64, len(probes))
-                ha = np.fromiter((p["h_area"] for p in probes), np.float64, len(probes))
                 ring_x = np.asarray(row.xs, np.float64)
                 ring_y = np.asarray(row.ys, np.float64)
-                inside = _pip_many_vs_ring(pxx, pyy, ring_x, ring_y)
-                sel = np.flatnonzero(inside)
-                if sel.size:
-                    yield pd.DataFrame(
-                        {
-                            "h_rid": px[sel],
-                            "rid": np.full(sel.size, row.rid, np.int64),
-                            "s_area": np.full(sel.size, row.s_area, np.float64),
-                            "h_area_back": ha[sel],
-                        }
-                    )
+                if len(probes) * ring_x.size > 4_000_000:
+                    pxx = np.fromiter((p["hcx"] for p in probes), np.float64, len(probes))
+                    pyy = np.fromiter((p["hcy"] for p in probes), np.float64, len(probes))
+                    inside = _pip_many_vs_ring(pxx, pyy, ring_x, ring_y)
+                    for i in np.flatnonzero(inside):
+                        p = probes[i]
+                        hr.append(p["h_rid"])
+                        rr.append(row.rid)
+                        sa.append(row.s_area)
+                        ha_out.append(p["h_area"])
+                else:
+                    for p in probes:
+                        flat_px.append(p["hcx"])
+                        flat_py.append(p["hcy"])
+                        flat_rings.append((ring_x, ring_y))
+                        flat_meta.append((p["h_rid"], row.rid, row.s_area, p["h_area"]))
+            if flat_rings:
+                inside = _ray_cast_rows(
+                    np.asarray(flat_px, np.float64), np.asarray(flat_py, np.float64), flat_rings
+                )
+                for i in np.flatnonzero(inside):
+                    m = flat_meta[i]
+                    hr.append(m[0])
+                    rr.append(m[1])
+                    sa.append(m[2])
+                    ha_out.append(m[3])
+            if hr:
+                yield pd.DataFrame(
+                    {
+                        "h_rid": np.asarray(hr, np.int64),
+                        "rid": np.asarray(rr, np.int64),
+                        "s_area": np.asarray(sa, np.float64),
+                        "h_area_back": np.asarray(ha_out, np.float64),
+                    }
+                )
 
     hit = with_coords.mapInPandas(pip_hits, hit_schema)
     winners = (
