@@ -23,6 +23,7 @@ from __future__ import annotations
 import time
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators.polygonize_op import (
@@ -46,8 +47,13 @@ def _tile_metrics(assigned: DataFrame) -> DataFrame:
 def _latest_metrics(spark: SparkSession, metrics_path: str) -> DataFrame | None:
     try:
         m = spark.read.parquet(metrics_path)
-    except Exception:
-        return None
+    except AnalysisException as e:
+        # absent metrics dir = never-checkpointed store (fresh run);
+        # other failures must surface (same rationale as the polygons
+        # read in read_checkpointed_coverage)
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
     w = Window.partitionBy(*TILE_KEY).orderBy(F.col("completed_at").desc())
     return m.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
 
@@ -187,8 +193,15 @@ def read_checkpointed_coverage(spark: SparkSession, ckpt_dir: str) -> DataFrame:
         polys = spark.read.option("basePath", f"{ckpt_dir}/polygons").parquet(
             f"{ckpt_dir}/polygons/run_id=*"
         )
-    except Exception:
-        return spark.createDataFrame([], POLYGON_SCHEMA)
+    except AnalysisException as e:
+        # ONLY a genuinely absent polygons dir reads as empty (a
+        # metrics-only checkpoint: every committed run wrote 0 polygons,
+        # so no polygons/ directory was ever created). Any other read
+        # failure — permissions, corruption, transient FS errors — must
+        # surface, not masquerade as an empty coverage.
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], POLYGON_SCHEMA)
+        raise
     return polys.join(
         F.broadcast(latest.select(*TILE_KEY, "run_id")),
         on=TILE_KEY + ["run_id"],

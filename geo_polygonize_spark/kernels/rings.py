@@ -130,6 +130,34 @@ def batch_ring_stats(rxs: list, rys: list):
     first_sorted = order[grp_starts]  # first element of each group
     k = first_sorted - off[:-1]
 
+    # rotation tie-break: when the minimum vertex occurs MORE THAN ONCE
+    # in a ring (pinch/bowtie face boundaries, which planar tracing
+    # does produce), the stable lexsort above picks the first
+    # occurrence in STORAGE order — which differs between two tiles
+    # that traced the same ring from different starts, breaking the
+    # bit-identical-output contract. Among tied minimum vertices, pick
+    # the occurrence whose full rotated sequence is lexicographically
+    # smallest — a storage-order-independent canonical form. Ties are
+    # rare (simple rings have none), so the per-ring fixup loop is off
+    # the hot path; detection is vectorized.
+    minx_r = np.repeat(xo[first_sorted], L)
+    miny_r = np.repeat(yo[first_sorted], L)
+    tie_cnt = np.add.reduceat((xo == minx_r) & (yo == miny_r), off[:-1])
+    for g in np.flatnonzero(tie_cnt > 1):
+        o, l = off[g], L[g]
+        xs_g, ys_g = xo[o : o + l], yo[o : o + l]
+        cands = np.flatnonzero((xs_g == xs_g[k[g] + 0]) & (ys_g == ys_g[k[g]]))
+        best = int(cands[0])
+        bx_rot = np.roll(xs_g, -best)
+        by_rot = np.roll(ys_g, -best)
+        for c in cands[1:]:
+            cx_rot = np.roll(xs_g, -int(c))
+            cy_rot = np.roll(ys_g, -int(c))
+            neq = np.flatnonzero((bx_rot != cx_rot) | (by_rot != cy_rot))
+            if neq.size and (cx_rot[neq[0]], cy_rot[neq[0]]) < (bx_rot[neq[0]], by_rot[neq[0]]):
+                best, bx_rot, by_rot = int(c), cx_rot, cy_rot
+        k[g] = best
+
     # rotation gather: rel = (pos + k) mod L, built without division
     pos = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], L)
     rel = pos + np.repeat(k, L)
@@ -640,7 +668,17 @@ def canonicalize_ring(xs: np.ndarray, ys: np.ndarray):
     FIXTURES.md §1 asks for this canonical form)."""
     x = np.asarray(xs, dtype=np.float64)[:-1]
     y = np.asarray(ys, dtype=np.float64)[:-1]
-    k = np.lexsort((y, x))[0]
+    k = int(np.lexsort((y, x))[0])
+    # same tie-break as batch_ring_stats: among repeated minimum
+    # vertices pick the lexicographically-smallest full rotation
+    cands = np.flatnonzero((x == x[k]) & (y == y[k]))
+    if cands.size > 1:
+        bx, by = np.roll(x, -k), np.roll(y, -k)
+        for c in cands:
+            cx_rot, cy_rot = np.roll(x, -int(c)), np.roll(y, -int(c))
+            neq = np.flatnonzero((bx != cx_rot) | (by != cy_rot))
+            if neq.size and (cx_rot[neq[0]], cy_rot[neq[0]]) < (bx[neq[0]], by[neq[0]]):
+                k, bx, by = int(c), cx_rot, cy_rot
     rx = np.roll(x, -k)
     ry = np.roll(y, -k)
     return np.concatenate([rx, rx[:1]]), np.concatenate([ry, ry[:1]])

@@ -123,6 +123,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: every (a, b) with
     cosine ≥ ``threshold`` among LSH candidates (same bucket or
@@ -131,6 +132,18 @@ def embedding_neardup_pairs(
     at near-dup thresholds (θ small) a candidate is missed with
     probability ≤ (1−(1−θ/π)^p)·(1−p·…) ≈ tiny; lower ``n_planes``
     raises recall at the cost of candidate volume.
+
+    Mega-bucket cap (the same star pattern as the minhash band join,
+    dedup.minhash_lsh_dedup): a bucket with more than ``max_bucket``
+    members — exactly what a dup-heavy corpus produces — would emit
+    O(m²) candidate rows if fully paired. Instead, only that bucket's
+    ANCHOR (min id) stays joinable on the right side, and an explicit
+    anchor×member star supplies the within-bucket pairs — O(m), and
+    the pair graph stays connected through the anchor, which is what
+    ``connected_keepers`` needs. Recall caveat (documented, mirrors
+    minhash): pairs between two NON-anchor members of a mega bucket
+    (or across two mega buckets) are represented transitively via the
+    anchors rather than emitted directly.
 
     Compose with ``dedup.connected_keepers`` for doc→keeper mapping —
     the embedding-side sibling of minhash_dedup_keepers.
@@ -147,12 +160,41 @@ def embedding_neardup_pairs(
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.explode(probe_arr).alias("pb")
     )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket").alias("pb")
+    stats = b.groupBy("bucket").agg(
+        F.min(id_col).alias("_anchor"), F.count("*").alias("_bsz")
     )
+    keyed = b.join(stats, "bucket")
+    # right side: full buckets when small; mega buckets expose ONLY
+    # their anchor as a join target (every probe into them meets one
+    # row, never m)
+    right = keyed.where(
+        (F.col("_bsz") <= max_bucket) | (F.col(id_col) == F.col("_anchor"))
+    ).select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket").alias("pb"))
     # id_a < id_b keeps each unordered pair once per matching probe; a
-    # pair can match at most one probe value (probe values distinct)
-    cand = left.join(right, "pb").where(F.col("id_a") < F.col("id_b"))
+    # pair can match at most one probe value (probe values distinct).
+    # Star pairs (anchor < member by min) never also arise here: mega
+    # members are absent from the right side, and member-as-left vs
+    # anchor-as-right fails id_a < id_b.
+    cand = (
+        left.join(right, "pb")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+    )
+    big = keyed.where(F.col("_bsz") > max_bucket)
+    star = (
+        big.where(F.col(id_col) == F.col("_anchor"))
+        .select(F.col("bucket").alias("_bb"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        .join(
+            big.where(F.col(id_col) != F.col("_anchor")).select(
+                F.col("bucket").alias("_bb"),
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("vb"),
+            ),
+            "_bb",
+        )
+        .select("id_a", "va", "id_b", "vb")
+    )
+    cand = cand.unionByName(star)
     dot = F.expr(
         "aggregate(zip_with(va, vb, (a, b) -> cast(a as double) * cast(b as double)),"
         " 0D, (acc, x) -> acc + x)"
@@ -260,6 +302,7 @@ def lsh_selfjoin_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """All-rows-as-queries approximate top-k: for every row, its k most
     cosine-similar OTHER rows among LSH candidates (same bucket, or
@@ -273,6 +316,16 @@ def lsh_selfjoin_topk(
     top-k. Embeddings cross the candidate shuffle once per side; there
     is no crossJoin. A probe row's bucket values are distinct, so a
     candidate pair arises from exactly one probe — no dedup needed.
+
+    Mega-bucket cap: a bucket of m ≫ ``max_bucket`` near-identical
+    embeddings would emit O(m²) candidate rows from its own members'
+    self-probes. The right side of the candidate join keeps only a
+    DETERMINISTIC ~``max_bucket``-row subsample of such buckets
+    (seeded hash of the id), bounding candidates per probe at
+    O(max_bucket). Recall caveat (documented): inside a mega bucket
+    the reported top-k comes from the subsample — for the
+    near-identical-vector buckets that cause this, any k bucket-mates
+    are interchangeable neighbors.
     """
     if dim is None:
         dim = len(table.select(vec_col).first()[0])
@@ -284,10 +337,22 @@ def lsh_selfjoin_topk(
     else:
         probe_arr = F.array(F.col("bucket"))
     left = b.select(id_col, vec_col, F.explode(probe_arr).alias("pb"))
-    right = b.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nvec"),
-        F.col("bucket").alias("pb"),
+    sizes = b.groupBy("bucket").agg(F.count("*").alias("_bsz"))
+    # keep rule: whole bucket when small, else keep each row with
+    # probability max_bucket/_bsz via a seeded hash — deterministic,
+    # and the product stays < 2^63 (hash residue < 10⁶, _bsz < 2^43)
+    keep = (F.col("_bsz") <= max_bucket) | (
+        F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(1_000_000)) * F.col("_bsz")
+        < F.lit(1_000_000) * F.lit(max_bucket)
+    )
+    right = (
+        b.join(sizes, "bucket")
+        .where(keep)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            F.col("bucket").alias("pb"),
+        )
     )
     cand = left.join(right, "pb").where(F.col(id_col) != F.col("neighbor_id"))
 

@@ -167,12 +167,16 @@ def connected_keepers(
     (``(doc_id, keeper)``; singletons keep themselves when ``all_ids``
     supplies the full id universe).
 
-    Min-label propagation: each round every node takes
-    min(own label, neighbors' labels); converges in ≤ graph-diameter
-    rounds — near-dup components are tiny (dup clusters), so this is
-    2–4 rounds in practice. Convergence is detected with an exact
+    Min-label propagation WITH pointer doubling: each round every node
+    takes min(own label, neighbors' labels, label-of-its-label) — the
+    doubling step (label ← label[label]) makes label chains collapse
+    in O(log diameter) rounds instead of O(diameter), so even a long
+    chained-paraphrase corpus (each adjacent pair near-dup) converges
+    well inside ``max_iter``. Convergence is detected with an exact
     overflow-free checksum (count + bit_xor of xxhash64(id, label)),
-    one tiny aggregate per round.
+    one tiny aggregate per round; exhausting ``max_iter`` without
+    convergence RAISES instead of silently returning labels that split
+    one component into several keepers.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.unionByName(
@@ -192,27 +196,45 @@ def connected_keepers(
         return (row["n"], row["x"])
 
     prev = checksum(labels)
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr, labels.id == nbr.src, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
-            )
-            .persist()
+        half = labels.join(nbr, labels.id == nbr.src, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
         )
+        # pointer doubling: label ← min(label, label-of-label). Labels
+        # are always node ids, so the self-join resolves one extra hop
+        # per round — label chains halve each round (O(log d) total).
+        hop = half.select(F.col("id").alias("_hid"), F.col("label").alias("_hlabel"))
+        new_labels = half.join(hop, half.label == hop._hid, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("_hlabel", F.col("label"))).alias("label"),
+        )
+        # localCheckpoint, not persist: each round references the prior
+        # round's frame TWICE (half ⋈ hop-of-half), so an uncut logical
+        # plan doubles per round — exponential tree size that stalls
+        # the optimizer long before the data is large. Checkpointing
+        # truncates the lineage to a constant-size leaf per round.
+        new_labels = new_labels.localCheckpoint(eager=True)
         cur = checksum(new_labels)
         labels.unpersist()
         labels = new_labels
         if cur == prev:
+            converged = True
             break
         prev = cur
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_keepers: no convergence after {max_iter} rounds — "
+            "component label chains did not collapse (raise max_iter)"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("keeper"))
 
 

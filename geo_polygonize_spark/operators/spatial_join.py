@@ -226,6 +226,7 @@ def pip_join(
     salt: int | None = None,
     strategy: str = "cells",
     rows: list | None = None,
+    max_probes_per_group: int = 200_000,
 ) -> DataFrame:
     """points(point_id, x, y) × polygons → one row per point with its
     smallest containing polygon (or none: inner join semantics —
@@ -235,7 +236,12 @@ def pip_join(
     must fit in memory). ``strategy="cells"`` (this body) → narrow
     cell-key equi-join + per-polygon probe grouping + one-ring-batch
     PIP refine (module docstring) — the scale path for coverages too
-    large to collect. ``salt`` bounds each polygon's probe-group size.
+    large to collect. ``salt`` fixes each polygon's probe-group split
+    count; the default (None) DERIVES it per polygon from its actual
+    candidate count (one narrow window count) so a hot polygon — e.g.
+    a hull whose bbox covers the whole point cloud — can never gather
+    more than ``max_probes_per_group`` probes into a single
+    collect_list row/task.
     """
     if strategy == "broadcast":
         return pip_join_broadcast(points, polygons, point_id=point_id, rows=rows)
@@ -284,7 +290,20 @@ def pip_join(
         & (F.col("y") >= F.col("pby1"))
         & (F.col("y") <= F.col("pby2"))
     )
-    if group_salt > 1:
+    if salt is None:
+        # auto: per-polygon split count from its actual candidate
+        # volume. The count uses groupBy (map-side partial agg — the
+        # hot polygon's rows combine locally, no single-task buffering,
+        # unlike a window) and joins back by pkey, a narrow-row shuffle
+        # join AQE can skew-split.
+        counts = cand.groupBy("pkey").agg(F.count("*").alias("_nc"))
+        n_salt = F.greatest(
+            F.ceil(F.col("_nc") / F.lit(max_probes_per_group)), F.lit(1)
+        ).cast("int")
+        cand = cand.join(counts.select("pkey", n_salt.alias("_ns")), "pkey").withColumn(
+            "gsalt", F.pmod(F.xxhash64(point_id), F.col("_ns")).cast("int")
+        ).drop("_ns")
+    elif group_salt > 1:
         cand = cand.withColumn(
             "gsalt", F.pmod(F.xxhash64(point_id), F.lit(group_salt)).cast("int")
         )
@@ -478,6 +497,7 @@ def knn_join_cells(
     base_cell = span / cells_per_axis
 
     pending = points.select(point_id, "x", "y")
+    prev_pending: DataFrame | None = None
     resolved_parts: list[DataFrame] = []
     w = Window.partitionBy(point_id).orderBy("dist", "centroid_id")
     for r in range(max_rounds):
@@ -507,10 +527,15 @@ def knn_join_cells(
         cand = pts.join(cent_cells, ["cell_i", "cell_j"]).withColumn(
             "dist", F.sqrt(dx * dx + dy * dy)
         )
+        # persisted: the resolved part, the ok_ids prune, AND the next
+        # round's anti-join all re-consume it — and caching it here is
+        # what makes unpersisting the PRIOR round's pending safe (the
+        # resolved parts read this cache, not the pending lineage)
         topk = (
             cand.withColumn("rank", F.row_number().over(w) - 1)
             .where(F.col("rank") < k)
             .select(point_id, "x", "y", "rank", "centroid_id", "dist")
+            .persist()
         )
         # resolved: k candidates AND k-th distance strictly inside the
         # cell-side guarantee radius
@@ -521,10 +546,15 @@ def knn_join_cells(
             (F.col("_nk") >= k) & (F.col("_dk") < F.lit(cell))
         ).select(point_id)
         resolved_parts.append(topk.join(F.broadcast(ok_ids), point_id, "left_semi"))
-        # persisted: each later round (and the final union) re-reads it;
-        # leftovers after round 0 are tiny, GC unpersists at session end
-        pending = pending.join(F.broadcast(ok_ids), point_id, "left_anti").persist()
-        if pending.limit(1).count() == 0:
+        # leftovers after round 0 are tiny; the full count materializes
+        # both this round's pending AND the topk cache above, after
+        # which the superseded prior pending can be released
+        new_pending = pending.join(F.broadcast(ok_ids), point_id, "left_anti").persist()
+        n_left = new_pending.count()
+        if prev_pending is not None:
+            prev_pending.unpersist()
+        prev_pending = pending = new_pending
+        if n_left == 0:
             break
     else:
         if pending.limit(1).count() > 0:

@@ -80,18 +80,31 @@ def quality_score_sql(text_expr: str, engine: str) -> str:
     )
 
 
+# fingerprint_sql materializes one index per character: cap it so a
+# 1 MB document cannot allocate a 10⁶-element engine array per row.
+# 64 KiB of prefix is far past any realistic hash-collision need and
+# keeps the per-row allocation bounded (identical cap in BOTH engines
+# so the driver oracle stays bit-identical).
+FINGERPRINT_MAX_CHARS = 65_536
+
+
 def fingerprint_sql(text_expr: str, engine: str) -> str:
-    """Rolling polynomial hash of the full document:
+    """Rolling polynomial hash of the document's first
+    ``FINGERPRINT_MAX_CHARS`` characters:
     h ← (h·131 + ascii(char)) mod (2³¹−1). Order-sensitive (a true
     rolling fingerprint, not a bag hash); every intermediate < 2³⁹ so
-    no BIGINT overflow under ANSI mode in either engine."""
+    no BIGINT overflow under ANSI mode in either engine. The prefix
+    cap bounds the per-row index-array allocation (documents beyond
+    the cap fingerprint their prefix — a documented, deterministic
+    bound, not a truncation bug)."""
+    cap = FINGERPRINT_MAX_CHARS
     if engine == "spark":
         return (
-            f"aggregate(sequence(1, length({text_expr})), 0L, "
+            f"aggregate(sequence(1, least(length({text_expr}), {cap})), 0L, "
             f"(acc, i) -> (acc * 131 + CAST(ascii(substr({text_expr}, i, 1)) AS BIGINT)) % {M31})"
         )
     return (
-        f"list_reduce(list_prepend(0, list_transform(range(1, length({text_expr}) + 1), "
+        f"list_reduce(list_prepend(0, list_transform(range(1, least(length({text_expr}), {cap}) + 1), "
         f"i -> CAST(ascii(substr({text_expr}, CAST(i AS INTEGER), 1)) AS BIGINT))), "
         f"(acc, x) -> (acc * 131 + x) % {M31})"
     )

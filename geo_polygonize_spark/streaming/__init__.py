@@ -27,14 +27,22 @@ the tile-partitioned store removes that O(corpus) per-batch term.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..checkpoint import resumable_tiled_polygonize
 from ..operators.polygonize_op import assign_tiles, segmentize_df
 
 import numpy as np
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the JVM Hadoop FileSystem — correct on
+    local paths, HDFS, and object stores alike (anything the session's
+    Hadoop configuration can resolve)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def streaming_polygonize(
@@ -77,13 +85,19 @@ def streaming_polygonize(
             for r in seg.select("tile_i", "tile_j").distinct().collect()
         ]
         seg.unpersist()
-        paths = [
-            f"{seg_root}/tile_i={ti}/tile_j={tj}"
-            for ti, tj in touched
-            if os.path.isdir(f"{seg_root}/tile_i={ti}/tile_j={tj}")
-        ]
-        if not paths:
-            return
+        # partition existence through the Hadoop FileSystem API — a
+        # driver-side os.path check only works on local filesystems;
+        # on HDFS/object stores it silently filtered EVERY path out,
+        # leaving the coverage permanently stale while the store grew
+        paths = [f"{seg_root}/tile_i={ti}/tile_j={tj}" for ti, tj in touched]
+        missing = [p for p in paths if not _hadoop_path_exists(spark, p)]
+        if missing:
+            # the batch just appended these partitions — absence is
+            # store corruption / misconfiguration, never a normal state
+            raise RuntimeError(
+                f"streaming_polygonize: {len(missing)} touched segment "
+                f"partitions missing after append (first: {missing[0]})"
+            )
         pruned = spark.read.option("basePath", seg_root).parquet(*paths)
         resumable_tiled_polygonize(
             spark,

@@ -15,6 +15,9 @@ import __spark_entry__ as entrymod
 from geo_polygonize_spark.plans import build_session
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional 2nd arg: comma-separated substrings — validate only queries
+# whose name contains one of them (fast re-checks while iterating)
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -36,6 +39,8 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if ONLY is not None and not any(s in name for s in ONLY):
+            continue
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:

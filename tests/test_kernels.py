@@ -229,6 +229,34 @@ class TestRings:
         assert (cx[0], cy[0]) == (0.0, 0.0)
         assert signed_area(cx, cy) == pytest.approx(signed_area(xs, ys))
 
+    def test_rotation_tiebreak_pinch_ring(self):
+        """A pinched (figure-eight) face boundary visits its minimum
+        vertex twice; the canonical rotation must be identical no
+        matter which storage rotation the tracer produced (ADVICE r2:
+        divergent rotations broke the cross-tile bit-identity
+        contract)."""
+        from geo_polygonize_spark.kernels.rings import batch_ring_stats
+
+        # closed ring pinched at (0,0): two lobes
+        px = arr(0, 2, 2, 0, 0, 1, 0)
+        py = arr(0, 0, 1, 0, 2, 2, 0)
+
+        def rotate_closed(xs, ys, k):
+            xo, yo = xs[:-1], ys[:-1]
+            rx, ry = np.roll(xo, -k), np.roll(yo, -k)
+            return np.concatenate([rx, rx[:1]]), np.concatenate([ry, ry[:1]])
+
+        outs = []
+        for k in range(6):
+            rx, ry = rotate_closed(px, py, k)
+            xr, yr, off, L, *_rest = batch_ring_stats([rx], [ry])
+            outs.append((xr.tobytes(), yr.tobytes(), tuple(_rest[-3][:1])))
+        assert all(o == outs[0] for o in outs[1:])
+        # canonicalize_ring agrees with the batch kernel's choice
+        c1 = canonicalize_ring(*rotate_closed(px, py, 2))
+        c2 = canonicalize_ring(*rotate_closed(px, py, 5))
+        assert c1[0].tolist() == c2[0].tolist() and c1[1].tolist() == c2[1].tolist()
+
 
 class TestMorton:
     def test_part1by1(self):

@@ -278,3 +278,75 @@ class TestTextAnalysis:
         }
         for i in range(50):
             assert keepers[i + 100000] == keepers[i] <= i
+
+
+class TestHotBucketCaps:
+    """Round-3 scale guards: degenerate LSH buckets must cost O(m), not
+    O(m²), in BOTH embedding self-joins (the minhash band join already
+    had the star cap; these mirror it)."""
+
+    def _identical_embeddings(self, spark, n, dim=16):
+        v = [float(x) for x in np.linspace(0.1, 1.0, dim)]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*[F.lit(x) for x in v]).alias("embedding")
+        )
+
+    def test_embedding_neardup_mega_bucket_star(self, spark):
+        from geo_polygonize_spark.operators.ann import embedding_neardup_pairs
+        from geo_polygonize_spark.operators.dedup import connected_keepers
+
+        n = 3000  # all-pairs would be ~4.5M rows × (n_planes+1) probes
+        corpus = self._identical_embeddings(spark, n)
+        pairs = embedding_neardup_pairs(
+            corpus, threshold=0.95, n_planes=6, dim=16, max_bucket=64
+        )
+        # star cap: O(n) pairs, every member connected to the anchor
+        rows = pairs.collect()
+        assert 0 < len(rows) < 10 * n
+        keepers = connected_keepers(
+            pairs.select("id_a", "id_b"),
+            corpus.select(F.col("vec_id").alias("doc_id")),
+        )
+        ks = {r["keeper"] for r in keepers.collect()}
+        assert ks == {0}
+
+    def test_lsh_selfjoin_mega_bucket_sample(self, spark):
+        from geo_polygonize_spark.operators.ann import lsh_selfjoin_topk
+
+        n = 3000
+        corpus = self._identical_embeddings(spark, n)
+        out = lsh_selfjoin_topk(corpus, k=2, n_planes=6, dim=16, max_bucket=32)
+        rows = out.collect()
+        # bounded: ≤ k rows per query, and every reported neighbor of an
+        # identical-vector corpus has cosine 1
+        per_q: dict = {}
+        for r in rows:
+            per_q.setdefault(r["vec_id"], []).append(r)
+            assert abs(r["cosine"] - 1.0) < 1e-12
+        assert len(per_q) == n
+        assert all(len(v) <= 2 for v in per_q.values())
+
+    def test_connected_keepers_long_chain_pointer_doubling(self, spark):
+        from geo_polygonize_spark.operators.dedup import connected_keepers
+
+        # a 512-node path: plain min-label propagation needs 511 rounds;
+        # pointer doubling converges in O(log n) ≪ max_iter=25
+        n = 512
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        out = connected_keepers(pairs, max_iter=25)
+        ks = {r["keeper"] for r in out.collect()}
+        assert ks == {0}
+
+    def test_connected_keepers_raises_on_exhaustion(self, spark):
+        import pytest
+
+        from geo_polygonize_spark.operators.dedup import connected_keepers
+
+        n = 256
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="no convergence"):
+            connected_keepers(pairs, max_iter=2)
