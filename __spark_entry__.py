@@ -467,6 +467,24 @@ def _q_minhash_neardup(spark, sf_dir):
     )
 
 
+def _q_frame_sample(spark, sf_dir):
+    # multimodal op: REAL video frame sampling (APNG container decode,
+    # r3) over the deterministic synthetic video table; aggregates of
+    # the sampled frames' indices/timestamps and a hash fold of the
+    # re-encoded frame payloads pin the decode end-to-end, so the
+    # oracle is a literal (sf-independent: synth_videos(40) everywhere)
+    from geo_polygonize_spark.operators.media import frame_sample
+    from geo_polygonize_spark.sources.images import synth_videos
+
+    frames = frame_sample(synth_videos(spark, 40, n_frames=24), every_n=10)
+    return frames.agg(
+        F.count("*").alias("n"),
+        F.sum("frame_idx").alias("sum_idx"),
+        F.sum("t_ms").alias("sum_t_ms"),
+        F.bit_xor(F.xxhash64("media_id", "frame_idx", "frame_bytes")).alias("frames_xor"),
+    )
+
+
 def _q_media_features(spark, sf_dir):
     # multimodal op: decode → feature-extract (channel means, luma
     # variance, recomputed phash) over the deterministic synthetic
@@ -623,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_near": _q_simhash_near,
         "g_image_pipeline": _q_image_pipeline,
         "g_media_features": _q_media_features,
+        "g_frame_sample": _q_frame_sample,
     }
 
 
@@ -1014,9 +1033,22 @@ def oracle_sql() -> dict[str, str]:
         # (captured from the real decode; phash lineage verified by
         # TestPayload / TestMediaOps)
         "g_media_features": (
+            # literals re-derived for the REAL baseline JPEG codec
+            # (r3): lossy rows now decode through sources/jpeg.py, so
+            # the decoded-pixel aggregates moved from the r2
+            # quantize-stand-in values
             "SELECT CAST(300 AS BIGINT) AS n, CAST(9600 AS BIGINT) AS sum_w, "
-            "CAST(37780211783 AS BIGINT) AS sum_mean_r_e6, "
-            "CAST(632513321 AS BIGINT) AS sum_luma_var_e3, "
-            "CAST(-6009186084481360197 AS BIGINT) AS phash_xor"
+            "CAST(37830261574 AS BIGINT) AS sum_mean_r_e6, "
+            "CAST(632532219 AS BIGINT) AS sum_luma_var_e3, "
+            "CAST(-4856268699822138181 AS BIGINT) AS phash_xor"
+        ),
+        "g_frame_sample": (
+            # reference-fixed literals: 40 videos × 3 sampled frames
+            # (0/10/20 of 24), xxhash64 fold over the PNG-re-encoded
+            # decoded frames — a bit-exact end-to-end pin of the APNG
+            # decode path
+            "SELECT CAST(120 AS BIGINT) AS n, CAST(1200 AS BIGINT) AS sum_idx, "
+            "CAST(48000 AS BIGINT) AS sum_t_ms, "
+            "CAST(2188832738196827567 AS BIGINT) AS frames_xor"
         ),
     }

@@ -208,6 +208,54 @@ def main() -> None:
     assert n_dupes >= n_docs // 10, f"dedup found only {n_dupes} dupes"
     docs_per_sec = round(n_corpus / timings["minhash_keepers_33k"], 1)
 
+    # ---- advertised scale paths, measured at scale -------------------
+    # cells-strategy PIP + exact cell-join kNN over 1M points × a
+    # 40k-polygon coverage (too big to want a broadcast index) — the
+    # paths a 1000-executor run takes; r2 benched only the broadcast
+    # flagship (VERDICT r2 #7)
+    from geo_polygonize_spark.operators.polygonize_op import tiled_polygonize as _tp
+    from geo_polygonize_spark.operators.spatial_join import knn_join_cells, pip_join
+
+    gscale = 200  # 40k unit cells
+    sx, sy = grid_lines(gscale)
+    cover = _tp(
+        lines_df(sx, sy),
+        tile_size=25.0,
+        buffer=1.5,
+        bbox=(0.0, 0.0, float(gscale), float(gscale)),
+        drop_collapsed=True,
+    ).persist()
+    assert cover.count() == gscale * gscale
+    n_pts = 1_000_000
+    pts = (
+        spark.range(n_pts)
+        .select(
+            F.col("id").alias("image_id"),
+            (F.pmod(F.xxhash64("id"), 2_000_000) / 10000.0).alias("x"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), 2_000_000) / 10000.0).alias("y"),
+        )
+        .persist()
+    )
+    pts.count()
+
+    timed(
+        "pip_join_cells_1m_x_40k",
+        lambda: pip_join(
+            pts, cover, x0=0.0, y0=0.0, cell_size=2.0, point_id="image_id"
+        ).count(),
+        repeat=1,
+    )
+    cents = cover.select(
+        F.col("poly_id").alias("centroid_id"), F.col("cx").alias("cx"), F.col("cy").alias("cy")
+    )
+    timed(
+        "knn_cells_1m_x_40k",
+        lambda: knn_join_cells(pts, cents, k=2, point_id="image_id").count(),
+        repeat=1,
+    )
+    cover.unpersist()
+    pts.unpersist()
+
     print(
         json.dumps(
             {

@@ -197,7 +197,9 @@ def _exact_resort(g, order, offsets, bad_nodes, quad, d2):
         order[lo:hi] = fan_sorted
 
 
-def prune_dangles(g: PlanarGraph, window: tuple | None = None) -> int:
+def prune_dangles(
+    g: PlanarGraph, window: tuple | None = None, node_mask: np.ndarray | None = None
+) -> int:
     """Iterative degree-1 peeling to fixpoint
     (reference planar_graph.rs:426-472), vectorized by rounds.
 
@@ -213,7 +215,14 @@ def prune_dangles(g: PlanarGraph, window: tuple | None = None) -> int:
     pruning it would delete globally-real edges and let a spurious
     ring hide inside the window (nodes inside the window have complete
     fans, so their in-tile degree equals the global degree and peeling
-    them is always globally correct)."""
+    them is always globally correct).
+
+    ``node_mask`` (bool per node): additional validity restriction —
+    only nodes with ``node_mask[n]`` may be peeled. The beacon-pruned
+    stitched levels pass the in-beacon-region mask: with level input
+    pruned to beacon neighborhoods, only nodes INSIDE the beacon
+    region are guaranteed complete fans, so only those may be declared
+    true dangles."""
     if g.adj_de is None:
         raise RuntimeError("sort_edges must run before prune_dangles")
     adj = g.adj_de
@@ -227,6 +236,8 @@ def prune_dangles(g: PlanarGraph, window: tuple | None = None) -> int:
         in_window = (g.nx >= wx1) & (g.nx <= wx2) & (g.ny >= wy1) & (g.ny <= wy2)
     else:
         in_window = None
+    if node_mask is not None:
+        in_window = node_mask if in_window is None else (in_window & node_mask)
     while True:
         d1 = np.flatnonzero((degree == 1) & in_window if in_window is not None else degree == 1)
         if d1.size == 0:

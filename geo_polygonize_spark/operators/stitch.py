@@ -281,22 +281,23 @@ def stitched_polygonize(
 
 
 def _assemble_rings_local(rings: DataFrame, drop_collapsed: bool) -> DataFrame:
-    """Single-group assembly: one grouped-map task runs the numpy
-    assembly kernel over the whole (small) ring set — identical
-    semantics to the distributed joins, a fraction of the latency."""
+    """Single-task assembly: the numpy assembly kernel over the whole
+    (small) ring set — identical semantics to the distributed joins, a
+    fraction of the latency. coalesce(1) + mapInPandas, NOT a
+    groupBy(lit) grouped-map: coalesce narrowly reads the cached ring
+    partitions into one task with no single-partition shuffle
+    exchange."""
     from ..kernels.rings import assemble_polygons_pdf
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        ring_xs = [np.asarray(v, dtype=np.float64) for v in pdf["xs"]]
-        ring_ys = [np.asarray(v, dtype=np.float64) for v in pdf["ys"]]
-        return assemble_polygons_pdf(ring_xs, ring_ys, drop_collapsed, -2, -2)
+    def kernel(batches):
+        ring_xs: list = []
+        ring_ys: list = []
+        for pdf in batches:
+            ring_xs.extend(np.asarray(v, dtype=np.float64) for v in pdf["xs"])
+            ring_ys.extend(np.asarray(v, dtype=np.float64) for v in pdf["ys"])
+        yield assemble_polygons_pdf(ring_xs, ring_ys, drop_collapsed, -2, -2)
 
-    return (
-        rings.select("xs", "ys")
-        .withColumn("g", F.lit(0))
-        .groupBy("g")
-        .applyInPandas(kernel, POLYGON_SCHEMA)
-    )
+    return rings.select("xs", "ys").coalesce(1).mapInPandas(kernel, POLYGON_SCHEMA)
 
 
 def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_factors=None):
@@ -482,6 +483,7 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
         F.max("by2").alias("gy1"),
         F.expr("percentile_approx(bx2 - bx1, 0.5)").alias("med"),
         F.count("*").alias("n"),
+        F.max("s_area").alias("max_area"),
     ).collect()[0]
     if stats["n"] == 0:
         return rings.sparkSession.createDataFrame([], POLYGON_SCHEMA)
@@ -503,7 +505,13 @@ def assemble_rings_distributed(rings: DataFrame, drop_collapsed: bool = False) -
     shell_cells = sc.withColumn("cell_i", F.explode(F.sequence(ci1, ci2))).withColumn(
         "cell_j", F.explode(F.sequence(cj1, cj2))
     )
-    hole_pts = holes.select("h_rid", "hcx", "hcy", "h_area").withColumn(
+    # holes that cannot have a strictly-larger parent (above all the
+    # promoted coverage hull — whose centroid would otherwise generate
+    # a candidate against every cell-mate) never enter the cell join
+    # (polygonizer.rs:226; same prefilter as the kernel assembly)
+    hole_pts = holes.where(
+        F.col("h_area") < F.lit(float(stats["max_area"])) - 1e-6
+    ).select("h_rid", "hcx", "hcy", "h_area").withColumn(
         "cell_i", cell_range_cols(F.col("hcx"), gx0, cell, n_cells)
     ).withColumn("cell_j", cell_range_cols(F.col("hcy"), gy0, cell, n_cells))
     # a hole keys to exactly ONE cell, so each (hole, shell) candidate

@@ -11,12 +11,12 @@ cluster.
 Codecs:
 * PNG — a real minimal RGB8 PNG encoder/decoder on stdlib zlib
   (true lossless round-trip, verified by the payload-invariant tests).
-* "jpeg" — STUB for the lossy path: the container lacks a JPEG codec,
-  so lossy-ness is modeled by quantizing pixels to even values before
-  PNG-encoding (deterministic, MSE ≤ 0.25 → PSNR ≈ 54 dB ≥ the 40 dB
-  invariant). The Spark-side plumbing (binary column, batched decode
-  UDF, PSNR check) is real; swap `_lossy_quantize` for a real JPEG
-  codec when one is available.
+* JPEG — a REAL baseline DCT codec (sources/jpeg.py: 8×8 DCT,
+  Annex-K quantization + Huffman tables, JFIF stream) — the lossy
+  path end-to-end. Synthetic "jpeg" rows encode at quality 98, which
+  keeps the noisy synthetic content above the input_hint's 40 dB PSNR
+  invariant (measured ≈ 43.6 dB; the per-pixel noise makes these
+  images a worst case for DCT coding).
 
 phash: classic 8×8 average-hash over the grayscale downsample —
 64-bit, vectorized.
@@ -30,6 +30,8 @@ import zlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .jpeg import jpeg_decode, jpeg_encode
 
 IMAGES_SCHEMA = T.StructType(
     [
@@ -154,10 +156,16 @@ def _pixels_for(idx: int, seed: int, w: int, h: int) -> np.ndarray:
     return (base[None, None, :] + grad[:, :, None] + noise).astype(np.uint8)
 
 
-def _lossy_quantize(px: np.ndarray) -> np.ndarray:
-    """STUB lossy transform standing in for JPEG (see module doc):
-    quantize to even values — max abs error 1 → PSNR ≈ 54 dB."""
-    return (px & 0xFE).astype(np.uint8)
+JPEG_QUALITY = 98  # keeps the synthetic noise above 40 dB PSNR
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Format-sniffing decode: PNG signature or JPEG SOI → RGB8."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(blob)
+    if blob[:2] == b"\xff\xd8":
+        return jpeg_decode(blob)
+    raise ValueError("unknown image container (expected PNG or JFIF)")
 
 
 def phash64(px: np.ndarray) -> int:
@@ -199,11 +207,11 @@ def synth_images(
                 idx = int(idx)
                 px = _pixels_for(idx, seed, w, h)
                 fmt = "jpeg" if idx % 3 == 0 else "png"
-                stored = _lossy_quantize(px) if fmt == "jpeg" else px
+                blob = jpeg_encode(px, JPEG_QUALITY) if fmt == "jpeg" else png_encode(px)
                 out.append(
                     (
                         f"img_{idx:012d}",
-                        png_encode(stored),
+                        blob,
                         w,
                         h,
                         fmt,
@@ -216,6 +224,58 @@ def synth_images(
             )
 
     return base.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+VIDEOS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fps", T.DoubleType(), False),
+    ]
+)
+
+
+def video_frame_pixels(idx: int, seed: int, w: int, h: int, frame: int) -> np.ndarray:
+    """Deterministic per-frame pixels: the image generator's frame-0
+    pixels rolled horizontally by the frame index (simple 'motion'
+    whose per-frame ground truth any test can recompute)."""
+    return np.roll(_pixels_for(idx, seed, w, h), shift=frame, axis=1)
+
+
+def synth_videos(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    w: int = 16,
+    h: int = 16,
+    n_frames: int = 24,
+    fps: float = 25.0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic multi-frame video table: real APNG
+    payloads (sources/apng.py) — the fixtures behind the REAL
+    ``frame_sample`` decode path."""
+    from .apng import apng_encode
+
+    base = spark.range(0, n, numPartitions=partitions or max(n // 1024, 4))
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for idx in pdf["id"].to_numpy():
+                idx = int(idx)
+                frames = [video_frame_pixels(idx, seed, w, h, f) for f in range(n_frames)]
+                out.append(
+                    (f"vid_{idx:09d}", apng_encode(frames, fps), n_frames, w, h, fps)
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "bytes", "n_frames", "w", "h", "fps"]
+            )
+
+    return base.mapInPandas(gen, VIDEOS_SCHEMA)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

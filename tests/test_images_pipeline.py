@@ -11,7 +11,7 @@ from geo_polygonize_spark.operators.spatial_join import knn_join, pip_join
 from geo_polygonize_spark.kernels.rings import points_in_ring
 from geo_polygonize_spark.sources.fixtures import grid_lines
 from geo_polygonize_spark.sources.images import (
-    _lossy_quantize,
+    decode_image,
     _pixels_for,
     phash64,
     png_decode,
@@ -36,9 +36,28 @@ class TestPayload:
         assert png_decode(data).shape == (16, 16, 3)
 
     def test_lossy_psnr_invariant(self):
+        from geo_polygonize_spark.sources.images import JPEG_QUALITY
+        from geo_polygonize_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+        # REAL DCT round-trip (r3: the quantize stand-in is gone)
         px = _pixels_for(11, 42, 32, 32)
-        lossy = _lossy_quantize(px)
+        lossy = jpeg_decode(jpeg_encode(px, JPEG_QUALITY))
         assert psnr(px, lossy) >= 40.0  # input_hint: PSNR ≥ 40 dB
+
+    def test_jpeg_codec_roundtrip(self):
+        from geo_polygonize_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+        # odd (non-multiple-of-8) size exercises edge padding; the
+        # solid image must survive near-losslessly; a high-noise image
+        # must decode to the right shape with bounded error
+        px = _pixels_for(5, 42, 32, 32)[:29, :21]
+        out = jpeg_decode(jpeg_encode(px, 95))
+        assert out.shape == px.shape and psnr(px, out) >= 34.0
+        solid = np.full((16, 16, 3), 200, np.uint8)
+        assert psnr(solid, jpeg_decode(jpeg_encode(solid, 90))) >= 50.0
+        # container sniffing dispatch
+        assert np.array_equal(decode_image(png_encode(px)), px)
+        assert decode_image(jpeg_encode(px, 95)).shape == px.shape
 
     def test_table_invariants(self, spark):
         df = synth_images(spark, 64, seed=42).cache()
@@ -48,7 +67,7 @@ class TestPayload:
         for r in rows[:12]:
             idx = int(r["image_id"].split("_")[1])
             src = _pixels_for(idx, 42, r["w"], r["h"])
-            dec = png_decode(bytes(r["bytes"]))
+            dec = decode_image(bytes(r["bytes"]))
             if r["fmt"] == "png":
                 assert np.array_equal(dec, src)  # allclose (exact)
             else:
@@ -318,7 +337,7 @@ class TestMediaOps:
         stored = {r["image_id"]: r for r in images.collect()}
         for iid, f in list(feats.items())[:8]:
             src = stored[iid]
-            px = png_decode(bytes(src["bytes"]))
+            px = decode_image(bytes(src["bytes"]))
             assert f["w"] == src["w"] and f["h"] == src["h"]
             np.testing.assert_allclose(f["mean_r"], px[:, :, 0].astype(float).mean())
             if src["fmt"] == "png":
@@ -334,25 +353,53 @@ class TestMediaOps:
         for iid, r in out.items():
             assert (r["w"], r["h"]) == (16, 12)
             got = png_decode(bytes(r["bytes"]))
-            px = png_decode(bytes(src[iid]["bytes"]))
+            px = decode_image(bytes(src[iid]["bytes"]))
             h, w = px.shape[0], px.shape[1]
             yi = np.minimum((np.arange(12) * h) // 12, h - 1)
             xi = np.minimum((np.arange(16) * w) // 16, w - 1)
             assert np.array_equal(got, px[yi][:, xi])
 
-    def test_frame_sample_fanout(self, spark):
+    def test_frame_sample_real_decode(self, spark):
         from geo_polygonize_spark.operators.media import frame_sample
+        from geo_polygonize_spark.sources.images import synth_videos, video_frame_pixels
 
-        vids = spark.createDataFrame(
-            [("v0", bytearray(b"\x01\x02\x03\x04"), 53), ("v1", bytearray(b"\xff"), 9)],
-            "media_id string, bytes binary, n_frames int",
+        # v0: 53 frames, v1: 9 frames — REAL APNG containers; sampled
+        # frame pixels must equal the generator's per-frame oracle
+        vids = synth_videos(spark, 1, n_frames=53).unionByName(
+            synth_videos(spark, 1, n_frames=9).select(
+                F.concat(F.lit("b_"), "media_id").alias("media_id"),
+                "bytes", "n_frames", "w", "h", "fps",
+            )
         )
         rows = frame_sample(vids, every_n=10).collect()
         by_vid = {}
         for r in rows:
             by_vid.setdefault(r["media_id"], []).append(r)
-        assert sorted(r["frame_idx"] for r in by_vid["v0"]) == [0, 10, 20, 30, 40, 50]
-        assert sorted(r["frame_idx"] for r in by_vid["v1"]) == [0]
-        f10 = next(r for r in by_vid["v0"] if r["frame_idx"] == 10)
+        assert sorted(r["frame_idx"] for r in by_vid["vid_000000000"]) == [0, 10, 20, 30, 40, 50]
+        assert sorted(r["frame_idx"] for r in by_vid["b_vid_000000000"]) == [0]
+        for r in by_vid["vid_000000000"]:
+            got = png_decode(bytes(r["frame_bytes"]))
+            want = video_frame_pixels(0, 42, 16, 16, r["frame_idx"])
+            assert np.array_equal(got, want)  # frame-by-frame oracle
+        f10 = next(r for r in by_vid["vid_000000000"] if r["frame_idx"] == 10)
         assert f10["t_ms"] == 400  # 10 frames at 25 fps
-        assert len(bytes(f10["frame_bytes"])) == 16
+
+    def test_apng_codec_roundtrip(self):
+        from geo_polygonize_spark.sources.apng import (
+            apng_count_frames,
+            apng_decode,
+            apng_encode,
+            is_apng,
+        )
+        from geo_polygonize_spark.sources.images import video_frame_pixels
+
+        frames = [video_frame_pixels(3, 42, 12, 9, f) for f in range(5)]
+        blob = apng_encode(frames, fps=25.0)
+        assert is_apng(blob) and apng_count_frames(blob) == 5
+        back = apng_decode(blob)
+        assert len(back) == 5
+        for a, b in zip(frames, back):
+            assert np.array_equal(a, b)  # lossless container
+        # selective decode skips unsampled streams
+        sel = apng_decode(blob, indices=[0, 4])
+        assert np.array_equal(sel[0], frames[0]) and np.array_equal(sel[1], frames[4])
