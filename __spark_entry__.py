@@ -467,6 +467,29 @@ def _q_minhash_neardup(spark, sf_dir):
     )
 
 
+def _q_phash_neardup(spark, sf_dir):
+    # IMAGE near-dup dedup (r3): 4-band hamming LSH over the image
+    # table's perceptual hash — 100 planted 2-bit-flip twins among 400
+    # deterministic synthetic images; pigeonhole-exact recall at k=2,
+    # bit_count verify. Literal oracle (sf-independent), xxhash fold
+    # over the exact pair set.
+    from geo_polygonize_spark.operators.dedup import hamming_neardup_pairs
+    from geo_polygonize_spark.sources.images import synth_images
+
+    imgs = synth_images(spark, 400).select(
+        F.expr("CAST(substring(image_id, 5) AS BIGINT)").alias("img_id"), "phash"
+    )
+    twins = imgs.where("img_id % 4 = 0").select(
+        (F.col("img_id") + 100000).alias("img_id"), F.expr("phash ^ 3").alias("phash")
+    )
+    pairs = hamming_neardup_pairs(imgs.unionByName(twins), "phash", "img_id", k=2)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("hamming").alias("sum_hamming"),
+        F.bit_xor(F.xxhash64("id_a", "id_b", "hamming")).alias("pairs_xor"),
+    )
+
+
 def _q_frame_sample(spark, sf_dir):
     # multimodal op: REAL video frame sampling (APNG container decode,
     # r3) over the deterministic synthetic video table; aggregates of
@@ -642,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_image_pipeline": _q_image_pipeline,
         "g_media_features": _q_media_features,
         "g_frame_sample": _q_frame_sample,
+        "img_phash_neardup": _q_phash_neardup,
     }
 
 
@@ -1041,6 +1065,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(37830261574 AS BIGINT) AS sum_mean_r_e6, "
             "CAST(632532219 AS BIGINT) AS sum_luma_var_e3, "
             "CAST(-4856268699822138181 AS BIGINT) AS phash_xor"
+        ),
+        "img_phash_neardup": (
+            # reference-fixed literals: 100 planted 2-bit twins among
+            # 400 deterministic synth images + the natural phash
+            # near-collisions of the corpus (exact recall at k=2 by
+            # the 4-band pigeonhole) — xxhash fold over the pair set
+            "SELECT CAST(1702 AS BIGINT) AS n_pairs, "
+            "CAST(2389 AS BIGINT) AS sum_hamming, "
+            "CAST(-7983499394351374538 AS BIGINT) AS pairs_xor"
         ),
         "g_frame_sample": (
             # reference-fixed literals: 40 videos × 3 sampled frames

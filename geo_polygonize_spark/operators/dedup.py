@@ -350,6 +350,51 @@ def simhash_neardup_pairs(
     return pairs.select("id_a", "id_b", "hamming")
 
 
+def hamming_neardup_pairs(
+    df: DataFrame,
+    bits_col: str,
+    id_col: str,
+    k: int = 3,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column with hamming
+    distance ≤ k (k ≤ 3): the simhash 4-band LSH generalized to a
+    caller-supplied column. The flagship use is IMAGE dedup on the
+    image table's perceptual hash (``phash``) — two images whose
+    8×8 average-hashes differ in ≤ k cells are near-duplicate
+    crops/re-encodes; the same pigeonhole argument gives EXACT recall
+    (any two values differing in ≤ 3 bits agree on ≥ 1 of 4 disjoint
+    bands), and ``bit_count`` verification removes band false
+    positives. Output: (id_a, id_b, hamming).
+
+    Scale shape = the minhash/simhash band joins: the self-join
+    carries only (band_key, id, bits) — 24 bytes/row — and each band
+    bucket is an equi-join bucket, never an all-pairs scan."""
+    if not 0 <= k <= 3:
+        raise ValueError("4-band hamming LSH guarantees recall only for k <= 3")
+    base = df.select(F.col(id_col).alias("_id"), F.col(bits_col).alias("_bits"))
+    n_bands = 4
+    bounds = [round(i * n_bits / n_bands) for i in range(n_bands + 1)]
+    band_cols = []
+    for m in range(n_bands):
+        lo, width = bounds[m], bounds[m + 1] - bounds[m]
+        mask = (1 << width) - 1
+        band_cols.append(
+            F.xxhash64(F.lit(m), F.shiftright("_bits", lo).bitwiseAND(F.lit(mask)))
+        )
+    banded = base.select("_id", "_bits", F.explode(F.array(*band_cols)).alias("band_key"))
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_bits").alias("bits_a"), "band_key")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_bits").alias("bits_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.expr("bits_a ^ bits_b")).cast("long"))
+        .where(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, ids: DataFrame, text: str = "text", id_col: str = "doc_id", shingle_n: int = 5
 ) -> DataFrame:

@@ -93,3 +93,30 @@ def test_cli_polygonize_file(tmp_path):
     got_areas, got_count = _golden_areas(str(out))
     assert got_count == want_count
     assert np.allclose(sorted(got_areas), sorted(want_areas))
+
+
+class TestSvgRender:
+    def test_render_curved_holes(self, spark):
+        """SVG dev-rendering (reference scripts/visualize.py analog):
+        the curved_holes example renders its 5 polygons as evenodd
+        paths with hole subpaths."""
+        from geo_polygonize_spark.operators.polygonize_op import tiled_polygonize
+        from geo_polygonize_spark.sources.geojson import read_geojson_lines
+        from geo_polygonize_spark.sources.svg import polygons_to_svg
+
+        lines = read_geojson_lines(
+            spark, "/root/reference/examples/data/curved_holes.geojson"
+        )
+        polys = tiled_polygonize(lines, tile_size=1000.0, buffer=1.0)
+        svg = polygons_to_svg(polys, width=400)
+        assert svg.startswith("<svg ") and svg.endswith("</svg>")
+        assert svg.count("<path") == polys.count()
+        assert 'fill-rule="evenodd"' in svg
+        # at least one polygon has a hole → its path has 2+ subpaths
+        assert any(p.count(" Z M") >= 1 or p.count("Z M") >= 1
+                   for p in svg.split("<path")[1:])
+
+    def test_render_empty(self):
+        from geo_polygonize_spark.sources.svg import polygons_to_svg
+
+        assert "<svg" in polygons_to_svg([])

@@ -350,3 +350,31 @@ class TestHotBucketCaps:
         )
         with pytest.raises(RuntimeError, match="no convergence"):
             connected_keepers(pairs, max_iter=2)
+
+
+class TestPhashNearDup:
+    def test_hamming_neardup_exact_recall(self, spark):
+        """Generic 64-bit hamming LSH (image-phash dedup): planted
+        ≤3-bit twins must ALL be found (pigeonhole-exact recall), and
+        the pair set must equal brute force over the fingerprints."""
+        import itertools
+
+        from geo_polygonize_spark.operators.dedup import hamming_neardup_pairs
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(-(2**63), 2**63 - 1, size=150, dtype=np.int64)
+        rows = [(int(i), int(v)) for i, v in enumerate(vals)]
+        # twins at hamming 1..3
+        for i in range(30):
+            flip = (1 << (i % 60)) | (1 << ((i * 7) % 60) if i % 3 else 0)
+            rows.append((1000 + i, int(vals[i] ^ np.int64(flip & ((1 << 63) - 1)))))
+        df = spark.createDataFrame(rows, "img_id long, phash long")
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in hamming_neardup_pairs(df, "phash", "img_id", k=3).collect()}
+        want = {}
+        for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+            h = bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                key = (ia, ib) if ia < ib else (ib, ia)
+                want[key] = h
+        assert got == want and len(want) >= 30
