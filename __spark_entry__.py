@@ -467,6 +467,17 @@ def _q_minhash_neardup(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    # §2.9 stateful-streaming analog, batch form (the streaming
+    # operator sessionize_stream is pinned stream==batch by
+    # tests/test_streaming.py): per-user gap sessions over the events
+    # table — lag → gap break → running break count → group. Exact
+    # integer outputs (epoch micros, value cents).
+    from geo_polygonize_spark.streaming.sessions import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30.0)
+
+
 def _q_phash_neardup(spark, sf_dir):
     # IMAGE near-dup dedup (r3): 4-band hamming LSH over the image
     # table's perceptual hash — 100 planted 2-bit-flip twins among 400
@@ -666,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_media_features": _q_media_features,
         "g_frame_sample": _q_frame_sample,
         "img_phash_neardup": _q_phash_neardup,
+        "events_sessionize": _q_sessionize,
     }
 
 
@@ -1065,6 +1077,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(37830261574 AS BIGINT) AS sum_mean_r_e6, "
             "CAST(632532219 AS BIGINT) AS sum_luma_var_e3, "
             "CAST(-4856268699822138181 AS BIGINT) AS phash_xor"
+        ),
+        "events_sessionize": (
+            "WITH o AS (SELECT event_id, user_id, ts, value, "
+            "  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events), "
+            "m AS (SELECT *, CASE WHEN pts IS NULL OR "
+            "  epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM o), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS UNBOUNDED PRECEDING) AS sess FROM m) "
+            "SELECT user_id, MIN(event_id) AS session_id, "
+            "CAST(MIN(epoch_us(ts)) AS BIGINT) AS t_start_us, "
+            "CAST(MAX(epoch_us(ts)) AS BIGINT) AS t_end_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM s GROUP BY user_id, sess"
         ),
         "img_phash_neardup": (
             # reference-fixed literals: 100 planted 2-bit twins among

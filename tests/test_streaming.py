@@ -77,3 +77,69 @@ def test_streaming_incremental(spark, tmp_path):
     got = read_coverage(spark, ck).collect()
     key = lambda rows: sorted((round(r["cx"], 6), round(r["cy"], 6), round(r["area"], 6)) for r in rows)
     assert key(got) == key(want)
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    sessions emitted by the stream must equal the batch sessionization
+    minus each user's final (still-open) session."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geo_polygonize_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    t = 0
+    for eid in range(600):
+        t += int(rng.integers(1, 40 * 60))  # 1 s .. 40 min gaps
+        rows.append((eid, t * 1_000_000, int(rng.integers(0, 12)), float(rng.uniform(0, 20))))
+    ev = spark.createDataFrame(
+        rows, "event_id long, t_raw long, user_id long, value double"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("t_raw") + 1_700_000_000_000_000).alias("ts"),
+        "user_id",
+        "value",
+    )
+
+    # batch ground truth
+    want_all = sessionize_batch(ev, gap_minutes=30.0).collect()
+    last_per_user = {}
+    for r in want_all:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["t_start_us"] > cur["t_start_us"]:
+            last_per_user[r["user_id"]] = r
+    want_closed = sorted(
+        (r["user_id"], r["session_id"], r["t_start_us"], r["t_end_us"],
+         r["n_events"], r["value_cents"])
+        for r in want_all if last_per_user[r["user_id"]] is not r
+    )
+
+    # stream the same events as 6 time-ordered file chunks
+    src = str(tmp_path / "events_stream")
+    for c in range(6):
+        ev.where((F.col("event_id") >= c * 100) & (F.col("event_id") < (c + 1) * 100)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = str(tmp_path / "sessions_out")
+    q = (
+        sessionize_stream(stream, gap_minutes=30.0)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["session_id"], r["t_start_us"], r["t_end_us"],
+         r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == want_closed and len(got) > 50
