@@ -312,6 +312,7 @@ def simhash_neardup_pairs(
     shingle_n: int = 5,
     k: int = 3,
     hasher: str = "xxhash64",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ k (k ≤ 3), via
     4-band LSH over the simhash bits: any two hashes differing in ≤ 3
@@ -321,33 +322,66 @@ def simhash_neardup_pairs(
 
     Scale shape = minhash band join: the self-join carries only
     (band_key, id, simhash) — 24 bytes/row — and each band bucket is
-    an equi-join bucket, never an all-pairs scan."""
+    an equi-join bucket, never an all-pairs scan; mega buckets
+    (identical-content corpora) are anchor-star capped
+    (``_banded_hamming_pairs``, r3 — previously an O(m²) hole)."""
     if not 0 <= k <= 3:
         raise ValueError("4-band simhash LSH guarantees recall only for k <= 3")
     n_bits = 62 if hasher == "portable" else 64
-    sim = simhash64(df, text, shingle_n, hasher=hasher).select(id_col, "simhash")
+    base = simhash64(df, text, shingle_n, hasher=hasher).select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_bits")
+    )
+    return _banded_hamming_pairs(base, k, n_bits, max_bucket)
+
+
+def _banded_hamming_pairs(
+    base: DataFrame, k: int, n_bits: int, max_bucket: int
+) -> DataFrame:
+    """Shared core of the 4-band hamming LSH joins: ``base`` has
+    (_id, _bits). Mega band buckets (> ``max_bucket`` members —
+    identical fingerprints in a dup-heavy corpus) emit anchor-star
+    candidates (O(m), bucket-min id × member) instead of all pairs
+    (O(m²)); identical-fingerprint members verify against the anchor
+    at hamming 0 and the pair graph stays connected for keeper
+    resolution — the same documented cap/caveat as the minhash and
+    embedding joins."""
     n_bands = 4
     bounds = [round(i * n_bits / n_bands) for i in range(n_bands + 1)]
     band_cols = []
     for m in range(n_bands):
         lo, width = bounds[m], bounds[m + 1] - bounds[m]
         mask = (1 << width) - 1
-        # arithmetic shiftright then mask extracts bits [lo, lo+width)
-        # regardless of the sign bit
         band_cols.append(
-            F.xxhash64(F.lit(m), F.shiftright("simhash", lo).bitwiseAND(F.lit(mask)))
+            F.xxhash64(F.lit(m), F.shiftright("_bits", lo).bitwiseAND(F.lit(mask)))
         )
-    banded = sim.select(id_col, "simhash", F.explode(F.array(*band_cols)).alias("band_key"))
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band_key")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band_key")
-    pairs = (
-        a.join(b, "band_key")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")).cast("long"))
-        .where(F.col("hamming") <= k)
+    banded = base.select("_id", "_bits", F.explode(F.array(*band_cols)).alias("band_key"))
+    buckets = banded.groupBy("band_key").agg(
+        F.min("_id").alias("_anchor"), F.count("*").alias("_bsz")
     )
-    return pairs.select("id_a", "id_b", "hamming")
+    keyed = banded.join(buckets, "band_key")
+    small = keyed.where(F.col("_bsz") <= max_bucket)
+    a = small.select(F.col("_id").alias("id_a"), F.col("_bits").alias("bits_a"), "band_key")
+    b = small.select(F.col("_id").alias("id_b"), F.col("_bits").alias("bits_b"), "band_key")
+    cand_small = (
+        a.join(b, "band_key").where(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "bits_a", "id_b", "bits_b"
+        )
+    )
+    big = keyed.where(F.col("_bsz") > max_bucket)
+    anchors = big.where(F.col("_id") == F.col("_anchor")).select(
+        "band_key", F.col("_id").alias("id_a"), F.col("_bits").alias("bits_a")
+    )
+    members = big.where(F.col("_id") != F.col("_anchor")).select(
+        "band_key", F.col("_id").alias("id_b"), F.col("_bits").alias("bits_b")
+    )
+    cand_big = anchors.join(members, "band_key").select("id_a", "bits_a", "id_b", "bits_b")
+    return (
+        cand_small.unionByName(cand_big)
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.expr("bits_a ^ bits_b")).cast("long"))
+        .where(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def hamming_neardup_pairs(
@@ -356,6 +390,7 @@ def hamming_neardup_pairs(
     id_col: str,
     k: int = 3,
     n_bits: int = 64,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint column with hamming
     distance ≤ k (k ≤ 3): the simhash 4-band LSH generalized to a
@@ -369,30 +404,13 @@ def hamming_neardup_pairs(
 
     Scale shape = the minhash/simhash band joins: the self-join
     carries only (band_key, id, bits) — 24 bytes/row — and each band
-    bucket is an equi-join bucket, never an all-pairs scan."""
+    bucket is an equi-join bucket, never an all-pairs scan. Buckets
+    beyond ``max_bucket`` are anchor-star capped
+    (``_banded_hamming_pairs``)."""
     if not 0 <= k <= 3:
         raise ValueError("4-band hamming LSH guarantees recall only for k <= 3")
     base = df.select(F.col(id_col).alias("_id"), F.col(bits_col).alias("_bits"))
-    n_bands = 4
-    bounds = [round(i * n_bits / n_bands) for i in range(n_bands + 1)]
-    band_cols = []
-    for m in range(n_bands):
-        lo, width = bounds[m], bounds[m + 1] - bounds[m]
-        mask = (1 << width) - 1
-        band_cols.append(
-            F.xxhash64(F.lit(m), F.shiftright("_bits", lo).bitwiseAND(F.lit(mask)))
-        )
-    banded = base.select("_id", "_bits", F.explode(F.array(*band_cols)).alias("band_key"))
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_bits").alias("bits_a"), "band_key")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_bits").alias("bits_b"), "band_key")
-    return (
-        a.join(b, "band_key")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.expr("bits_a ^ bits_b")).cast("long"))
-        .where(F.col("hamming") <= k)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _banded_hamming_pairs(base, k, n_bits, max_bucket)
 
 
 def ngram_jaccard_pairs(

@@ -378,3 +378,16 @@ class TestPhashNearDup:
                 key = (ia, ib) if ia < ib else (ib, ia)
                 want[key] = h
         assert got == want and len(want) >= 30
+
+    def test_hamming_mega_bucket_star(self, spark):
+        """5000 identical fingerprints: all-pairs would be 12.5M rows
+        per band; the anchor-star cap emits O(n) and every member is
+        paired (at hamming 0) with the anchor."""
+        from geo_polygonize_spark.operators.dedup import hamming_neardup_pairs
+
+        df = spark.range(5000).select(
+            F.col("id").alias("img_id"), F.lit(0x1234567890AB).alias("phash")
+        )
+        rows = hamming_neardup_pairs(df, "phash", "img_id", k=2, max_bucket=64).collect()
+        assert len(rows) == 4999
+        assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in rows)
