@@ -128,3 +128,50 @@ def test_stitched_skew_split_agrees_with_global(spark, seed):
         ).collect()
     )
     assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(4, 40),
+    h=st.integers(4, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_jpeg_roundtrip(w, h, seed):
+    """Baseline JPEG codec: any RGB8 image round-trips with the right
+    shape, bounded error at q95, and byte-deterministic encoding."""
+    from geo_polygonize_spark.sources.images import psnr
+    from geo_polygonize_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = jpeg_encode(px, quality=95)
+    assert data == jpeg_encode(px, quality=95)  # deterministic
+    out = jpeg_decode(data)
+    assert out.shape == px.shape
+    # worst case for DCT coding is dense uniform noise; q95 stays well
+    # above this floor on every probed image
+    assert psnr(px, out) >= 28.0
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(3, 24),
+    h=st.integers(3, 24),
+    n_frames=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_apng_roundtrip_exact(w, h, n_frames, seed):
+    """APNG container: any frame stack round-trips losslessly, and
+    selective decode returns exactly the requested frames."""
+    from geo_polygonize_spark.sources.apng import apng_count_frames, apng_decode, apng_encode
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n_frames)]
+    blob = apng_encode(frames)
+    assert apng_count_frames(blob) == n_frames
+    back = apng_decode(blob)
+    assert len(back) == n_frames
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    sel = apng_decode(blob, indices=[n_frames - 1])
+    assert np.array_equal(sel[0], frames[-1])
