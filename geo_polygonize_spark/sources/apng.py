@@ -96,7 +96,6 @@ def apng_decode(data: bytes, indices=None) -> list:
     ihdr = None
     streams: list = []  # compressed stream per frame, in order
     cur = None
-    saw_fctl_before_idat = False
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -111,8 +110,6 @@ def apng_decode(data: bytes, indices=None) -> list:
             if cur is not None:
                 streams.append(cur)
             cur = b""
-            if not streams and not saw_fctl_before_idat:
-                saw_fctl_before_idat = True
         elif tag == b"IDAT":
             if cur is None:  # plain PNG default image without fcTL
                 cur = b""

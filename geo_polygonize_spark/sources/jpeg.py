@@ -223,7 +223,6 @@ def _encode_block(w: _BitWriter, coef: np.ndarray, prev_dc: int, tbl: int) -> in
     run = 0
     nz = np.flatnonzero(zz[1:]) + 1
     last = int(nz[-1]) if nz.size else 0
-    k = 1
     for k in range(1, last + 1):
         v = int(zz[k])
         if v == 0:
