@@ -149,7 +149,14 @@ def embedding_neardup_pairs(
     the embedding-side sibling of minhash_dedup_keepers.
     """
     if dim is None:
-        dim = len(table.select(vec_col).first()[0])
+        # r4: the old fallback ran a driver-side .first() job per call
+        # just to measure the vector length — an extra Spark job in
+        # every explain/bench trace. Embedding length is fixed by the
+        # corpus; callers know it.
+        raise ValueError(
+            "dim is required (r4; the implicit .first() row-probe "
+            "fallback was removed - pass the embedding length, e.g. dim=64)"
+        )
     b = hyperplane_bucket(table, dim, n_planes, seed, vec_col)
     if multiprobe:
         probe_arr = F.array(
@@ -328,7 +335,14 @@ def lsh_selfjoin_topk(
     are interchangeable neighbors.
     """
     if dim is None:
-        dim = len(table.select(vec_col).first()[0])
+        # r4: the old fallback ran a driver-side .first() job per call
+        # just to measure the vector length — an extra Spark job in
+        # every explain/bench trace. Embedding length is fixed by the
+        # corpus; callers know it.
+        raise ValueError(
+            "dim is required (r4; the implicit .first() row-probe "
+            "fallback was removed - pass the embedding length, e.g. dim=64)"
+        )
     b = hyperplane_bucket(table, dim, n_planes, seed, vec_col)
     if multiprobe:
         probe_arr = F.array(

@@ -338,13 +338,21 @@ def _banded_hamming_pairs(
     base: DataFrame, k: int, n_bits: int, max_bucket: int
 ) -> DataFrame:
     """Shared core of the 4-band hamming LSH joins: ``base`` has
-    (_id, _bits). Mega band buckets (> ``max_bucket`` members —
-    identical fingerprints in a dup-heavy corpus) emit anchor-star
-    candidates (O(m), bucket-min id × member) instead of all pairs
-    (O(m²)); identical-fingerprint members verify against the anchor
-    at hamming 0 and the pair graph stays connected for keeper
-    resolution — the same documented cap/caveat as the minhash and
-    embedding joins."""
+    (_id, _bits). Mega band buckets (> ``max_bucket`` members) are
+    sub-bucketed BY FULL FINGERPRINT (r4): members sharing a
+    fingerprint star to a per-value anchor (hamming 0 — exact, O(m)),
+    and the distinct-value anchors within the bucket pair all-ways,
+    so a ≤k pair between two NON-identical fingerprints that band-
+    collided into a mega bucket is still recovered (r3's plain
+    anchor-star silently dropped those — it only linked members to
+    the single bucket-min anchor, whose hamming to them could be > k).
+    Recall is therefore EXACT (as a connectivity-preserving pair set:
+    same-value members link via their value anchor at hamming 0)
+    unless a single band bucket holds more than ``max_bucket``
+    DISTINCT fingerprints — a far weaker assumption than r3's
+    ≤ max_bucket members; that residual case falls back to a star
+    over the value anchors and is the same documented cap/caveat as
+    the minhash and embedding joins."""
     n_bands = 4
     bounds = [round(i * n_bits / n_bands) for i in range(n_bands + 1)]
     band_cols = []
@@ -355,9 +363,7 @@ def _banded_hamming_pairs(
             F.xxhash64(F.lit(m), F.shiftright("_bits", lo).bitwiseAND(F.lit(mask)))
         )
     banded = base.select("_id", "_bits", F.explode(F.array(*band_cols)).alias("band_key"))
-    buckets = banded.groupBy("band_key").agg(
-        F.min("_id").alias("_anchor"), F.count("*").alias("_bsz")
-    )
+    buckets = banded.groupBy("band_key").agg(F.count("*").alias("_bsz"))
     keyed = banded.join(buckets, "band_key")
     small = keyed.where(F.col("_bsz") <= max_bucket)
     a = small.select(F.col("_id").alias("id_a"), F.col("_bits").alias("bits_a"), "band_key")
@@ -368,13 +374,51 @@ def _banded_hamming_pairs(
         )
     )
     big = keyed.where(F.col("_bsz") > max_bucket)
-    anchors = big.where(F.col("_id") == F.col("_anchor")).select(
-        "band_key", F.col("_id").alias("id_a"), F.col("_bits").alias("bits_a")
+    # per-(band_key, fingerprint) value groups: value anchor = min id
+    vg = big.groupBy("band_key", "_bits").agg(F.min("_id").alias("_va"))
+    # (a) identical-value stars: member × its value anchor, hamming 0
+    star = (
+        big.join(vg, ["band_key", "_bits"])
+        .where(F.col("_id") != F.col("_va"))
+        .select(
+            F.col("_va").alias("id_a"),
+            F.col("_bits").alias("bits_a"),
+            F.col("_id").alias("id_b"),
+            F.col("_bits").alias("bits_b"),
+        )
     )
-    members = big.where(F.col("_id") != F.col("_anchor")).select(
-        "band_key", F.col("_id").alias("id_b"), F.col("_bits").alias("bits_b")
+    # (b) cross-value pairs among value anchors; a bucket with more
+    # than max_bucket DISTINCT fingerprints (pathological band
+    # collision) caps to a star over its min value anchor
+    vstats = vg.groupBy("band_key").agg(
+        F.min("_va").alias("_ba"), F.count("*").alias("_nd")
     )
-    cand_big = anchors.join(members, "band_key").select("id_a", "bits_a", "id_b", "bits_b")
+    vk = vg.join(vstats, "band_key")
+    sv = vk.where(F.col("_nd") <= max_bucket)
+    cross_small = (
+        sv.select(F.col("_va").alias("id_a"), F.col("_bits").alias("bits_a"), "band_key")
+        .join(
+            sv.select(
+                F.col("_va").alias("id_b"), F.col("_bits").alias("bits_b"), "band_key"
+            ),
+            "band_key",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "bits_a", "id_b", "bits_b")
+    )
+    bv = vk.where(F.col("_nd") > max_bucket)
+    cross_big = (
+        bv.where(F.col("_va") == F.col("_ba"))
+        .select("band_key", F.col("_va").alias("id_a"), F.col("_bits").alias("bits_a"))
+        .join(
+            bv.where(F.col("_va") != F.col("_ba")).select(
+                "band_key", F.col("_va").alias("id_b"), F.col("_bits").alias("bits_b")
+            ),
+            "band_key",
+        )
+        .select("id_a", "bits_a", "id_b", "bits_b")
+    )
+    cand_big = star.unionByName(cross_small).unionByName(cross_big)
     return (
         cand_small.unionByName(cand_big)
         .dropDuplicates(["id_a", "id_b"])

@@ -291,12 +291,23 @@ def pip_join(
         & (F.col("y") <= F.col("pby2"))
     )
     if salt is None:
-        # auto: per-polygon split count from its actual candidate
-        # volume. The count uses groupBy (map-side partial agg — the
-        # hot polygon's rows combine locally, no single-task buffering,
-        # unlike a window) and joins back by pkey, a narrow-row shuffle
-        # join AQE can skew-split.
-        counts = cand.groupBy("pkey").agg(F.count("*").alias("_nc"))
+        # auto: per-polygon split count from an UPPER BOUND on its
+        # candidate volume — sum of points-per-cell over the polygon's
+        # covered cells. The bound needs only a narrow agg of the
+        # points table plus a join against the (already narrow) cell
+        # cover; the expensive pts×pc candidate join itself executes
+        # ONCE (r4 — previously the counts aggregated ``cand`` and the
+        # candidate subtree ran twice unless exchange reuse kicked in,
+        # a silent 2× on the dominant join). Bound ≥ actual (bbox
+        # filter only shrinks it) → conservative split counts, each
+        # group still ≤ max_probes_per_group.
+        pts_per_cell = pts.groupBy("cell_i", "cell_j").agg(F.count("*").alias("_np"))
+        counts = (
+            pc.select("cell_i", "cell_j", "pkey")
+            .join(pts_per_cell, ["cell_i", "cell_j"], "inner")
+            .groupBy("pkey")
+            .agg(F.sum("_np").alias("_nc"))
+        )
         n_salt = F.greatest(
             F.ceil(F.col("_nc") / F.lit(max_probes_per_group)), F.lit(1)
         ).cast("int")
@@ -309,12 +320,20 @@ def pip_join(
         )
     else:
         cand = cand.withColumn("gsalt", F.lit(0))
+    # THREE PARALLEL PRIMITIVE ARRAYS, not collect_list(struct(...)):
+    # all aggregates of one groupBy consume the same per-group row
+    # stream, so the arrays stay index-aligned, and Arrow hands the
+    # kernel numpy-convertible list columns directly — no per-element
+    # Python dict unpacking in the probe hot path (r4; was the one
+    # per-row-Python site left in a scale path).
     per_poly = cand.groupBy("pkey", "gsalt").agg(
         F.first("p_tile_i").alias("p_tile_i"),
         F.first("p_tile_j").alias("p_tile_j"),
         F.first("p_poly_id").alias("p_poly_id"),
         F.first("p_area").alias("p_area"),
-        F.collect_list(F.struct(point_id, "x", "y")).alias("probes"),
+        F.collect_list(F.col(point_id)).alias("probe_ids"),
+        F.collect_list("x").alias("probe_xs"),
+        F.collect_list("y").alias("probe_ys"),
     )
     with_coords = per_poly.join(coords, "pkey")
 
@@ -336,12 +355,11 @@ def pip_join(
 
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                probes = row.probes
-                if len(probes) == 0:
+                px = np.asarray(row.probe_xs, np.float64)
+                if px.size == 0:
                     continue
-                ids = [p[point_id] for p in probes]
-                px = np.fromiter((p["x"] for p in probes), np.float64, len(probes))
-                py = np.fromiter((p["y"] for p in probes), np.float64, len(probes))
+                ids = np.asarray(row.probe_ids)
+                py = np.asarray(row.probe_ys, np.float64)
                 sx = np.asarray(row.shell_xs, np.float64)
                 sy = np.asarray(row.shell_ys, np.float64)
                 inside = _pip_many_vs_ring(px, py, sx, sy)
@@ -362,7 +380,7 @@ def pip_join(
                 if sel.size:
                     yield pd.DataFrame(
                         {
-                            point_id: [ids[i] for i in sel],
+                            point_id: ids[sel],
                             "x": px[sel],
                             "y": py[sel],
                             "p_tile_i": np.full(sel.size, row.p_tile_i, np.int32),

@@ -124,6 +124,17 @@ def apng_decode(data: bytes, indices=None) -> list:
     sel = range(len(streams)) if indices is None else indices
     frames = []
     for i in sel:
+        # bounds-check against the PARSED stream list, not the acTL
+        # header: a truncated / foreign blob whose acTL frame count
+        # exceeds its actual fcTL/fdAT streams must produce a
+        # descriptive media error, not an executor IndexError (r4).
+        if not 0 <= i < len(streams):
+            raise ValueError(
+                f"apng_decode: frame {i} requested but the container "
+                f"holds only {len(streams)} frame stream(s) - acTL "
+                "frame count exceeds actual fcTL/fdAT data "
+                "(truncated or malformed APNG blob?)"
+            )
         comp = streams[i]
         png = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", comp) + _chunk(b"IEND", b"")
         frames.append(png_decode(png))

@@ -99,51 +99,91 @@ def sessionize_stream(events_stream: DataFrame, gap_minutes: float = 30.0) -> Da
     def fn(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         user = int(key[0])
         if state.exists:
             sid, t0, t1, n, cents = state.get
         else:
             sid = t0 = t1 = n = cents = None
-        closed = []
+        out = []  # closed-session pdfs, one per batch with closures
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
+            # r4: vectorized within-batch — gap breaks via np.diff,
+            # per-session aggregates via ufunc.reduceat; the Python
+            # interpreter touches only the single batch-edge merge
+            # with the carried open-session state (was a per-event
+            # loop, the one interpreter-bound streaming hot path).
             pdf = pdf.sort_values(["t_us", "event_id"])
-            for eid, tus, c in zip(
-                pdf["event_id"].astype("int64"),
-                pdf["t_us"].astype("int64"),
-                pdf["cents"].astype("int64"),
-            ):
-                if t1 is not None and tus < t1:
-                    raise ValueError(
-                        f"sessionize_stream: out-of-order event for user {user} "
-                        f"({tus} < open-session end {t1}) — source must be "
-                        "per-user time-ordered across batches"
-                    )
-                if t1 is None:
-                    sid, t0, t1, n, cents = int(eid), int(tus), int(tus), 1, int(c)
-                elif tus - t1 > gap_us:
-                    closed.append((user, sid, t0, t1, n, cents))
-                    sid, t0, t1, n, cents = int(eid), int(tus), int(tus), 1, int(c)
+            tus = pdf["t_us"].to_numpy(np.int64)
+            eid = pdf["event_id"].to_numpy(np.int64)
+            cts = pdf["cents"].to_numpy(np.int64)
+            if t1 is not None and int(tus[0]) < t1:
+                raise ValueError(
+                    f"sessionize_stream: out-of-order event for user {user} "
+                    f"({int(tus[0])} < open-session end {t1}) — source must "
+                    "be per-user time-ordered across batches"
+                )
+            # segment starts: index 0 + every position whose gap from
+            # the previous event exceeds gap_us
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(tus) > gap_us) + 1)
+            )
+            ends = np.concatenate((starts[1:], [tus.size]))
+            s_sid = np.minimum.reduceat(eid, starts)
+            s_t0 = tus[starts]
+            s_t1 = tus[ends - 1]
+            s_n = ends - starts
+            s_cents = np.add.reduceat(cts, starts)
+            k = starts.size
+            # batch-edge merge: open state either absorbs segment 0
+            # (within gap) or closes ahead of it
+            pre = None
+            if t1 is not None:
+                if int(s_t0[0]) - t1 <= gap_us:
+                    s_sid[0] = min(sid, int(s_sid[0]))
+                    s_t0[0] = t0
+                    s_n[0] += n
+                    s_cents[0] += cents
                 else:
-                    t1 = int(tus)
-                    n += 1
-                    cents += int(c)
-                    sid = min(sid, int(eid))
+                    pre = (sid, t0, t1, n, cents)
+            # last segment stays open in state; the rest close
+            sid, t0, t1, n, cents = (
+                int(s_sid[k - 1]),
+                int(s_t0[k - 1]),
+                int(s_t1[k - 1]),
+                int(s_n[k - 1]),
+                int(s_cents[k - 1]),
+            )
+            n_closed = (k - 1) + (1 if pre is not None else 0)
+            if n_closed:
+                c_sid = s_sid[: k - 1]
+                c_t0 = s_t0[: k - 1]
+                c_t1 = s_t1[: k - 1]
+                c_n = s_n[: k - 1]
+                c_cents = s_cents[: k - 1]
+                if pre is not None:
+                    c_sid = np.concatenate(([pre[0]], c_sid))
+                    c_t0 = np.concatenate(([pre[1]], c_t0))
+                    c_t1 = np.concatenate(([pre[2]], c_t1))
+                    c_n = np.concatenate(([pre[3]], c_n))
+                    c_cents = np.concatenate(([pre[4]], c_cents))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": np.full(n_closed, user, np.int64),
+                            "session_id": c_sid.astype(np.int64),
+                            "t_start_us": c_t0.astype(np.int64),
+                            "t_end_us": c_t1.astype(np.int64),
+                            "n_events": c_n.astype(np.int64),
+                            "value_cents": c_cents.astype(np.int64),
+                        }
+                    )
+                )
         if t1 is not None:
             state.update((sid, t0, t1, n, cents))
-        if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=[
-                    "user_id",
-                    "session_id",
-                    "t_start_us",
-                    "t_end_us",
-                    "n_events",
-                    "value_cents",
-                ],
-            )
+        yield from out
 
     prepared = events_stream.select(
         "user_id",

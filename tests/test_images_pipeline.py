@@ -403,3 +403,30 @@ class TestMediaOps:
         # selective decode skips unsampled streams
         sel = apng_decode(blob, indices=[0, 4])
         assert np.array_equal(sel[0], frames[0]) and np.array_equal(sel[1], frames[4])
+
+    def test_apng_decode_index_out_of_range(self):
+        """r4 (ADVICE r3): requesting a frame beyond the parsed stream
+        list raises a descriptive ValueError, not IndexError."""
+        import pytest
+
+        from geo_polygonize_spark.sources.apng import apng_encode, apng_decode
+        from geo_polygonize_spark.sources.images import video_frame_pixels
+
+        blob = apng_encode([video_frame_pixels(0, 42, 8, 8, f) for f in range(3)])
+        with pytest.raises(ValueError, match="holds only 3 frame stream"):
+            apng_decode(blob, indices=[0, 7])
+
+    def test_frame_sample_deprecated_kwarg_warns(self, spark):
+        """r4 (ADVICE r3): the r2-era n_frames_col kwarg warns and is
+        ignored instead of raising TypeError."""
+        import warnings
+
+        from geo_polygonize_spark.operators.media import frame_sample
+        from geo_polygonize_spark.sources.images import synth_videos
+
+        vids = synth_videos(spark, 1, n_frames=5)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = frame_sample(vids, every_n=2, n_frames_col="n_frames")
+            assert any(issubclass(x.category, DeprecationWarning) for x in w)
+        assert sorted(r["frame_idx"] for r in out.collect()) == [0, 2, 4]

@@ -391,3 +391,44 @@ class TestPhashNearDup:
         rows = hamming_neardup_pairs(df, "phash", "img_id", k=2, max_bucket=64).collect()
         assert len(rows) == 4999
         assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in rows)
+
+    def test_hamming_mega_bucket_mixed_fingerprints_exact(self, spark):
+        """r4 regression (ADVICE r3): a mega band bucket holding
+        NON-identical fingerprints must not drop real <=k pairs
+        between its non-anchor members. 6 copies of A (ids 0-5) plus
+        B=A^bit20 (id 10) and C=A^bit21 (id 11) band-collide into a
+        >max_bucket bucket on bands 0/2/3; the (B, C) pair at
+        hamming 2 was silently lost by the r3 single-anchor star and
+        must now be emitted via the per-fingerprint value anchors."""
+        from geo_polygonize_spark.operators.dedup import hamming_neardup_pairs
+
+        A = 0x0123456789ABCDEF
+        rows = [(i, A) for i in range(6)] + [(10, A ^ (1 << 20)), (11, A ^ (1 << 21))]
+        df = spark.createDataFrame(rows, "img_id long, phash long")
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_neardup_pairs(
+                df, "phash", "img_id", k=3, max_bucket=4
+            ).collect()
+        }
+        want = {(0, j): 0 for j in range(1, 6)}
+        want.update({(0, 10): 1, (0, 11): 1, (10, 11): 2})
+        assert got == want
+
+    def test_ann_dim_required(self, spark):
+        """r4: the implicit .first() dim probe is gone — omitting dim
+        raises a descriptive error instead of running a driver job."""
+        import pytest
+
+        from geo_polygonize_spark.operators.ann import (
+            embedding_neardup_pairs,
+            lsh_selfjoin_topk,
+        )
+
+        e = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "doc_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="dim is required"):
+            embedding_neardup_pairs(e, threshold=0.9, n_planes=4)
+        with pytest.raises(ValueError, match="dim is required"):
+            lsh_selfjoin_topk(e, k=1, n_planes=4)
