@@ -21,10 +21,51 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _host_probe_once() -> float:
+    """One pass of the memory-bandwidth calibration probe (s/pass;
+    ~0.33 healthy on this box, >1 throttled — BENCH.md r3 note)."""
+    import numpy as _np
+    import time as _time
+
+    _x = _np.random.rand(50_000_000)
+    _t0 = _time.time()
+    for _ in range(3):
+        _np.sqrt(_x * 1.000001 + 3)
+    return round((_time.time() - _t0) / 3, 3)
+
+
+def _probe_gate() -> tuple[float, list[float], bool]:
+    """r4 (VERDICT r3 #1): don't record bench numbers on a throttled
+    host if waiting a bit buys a healthy window. Re-probe every 60 s
+    until the probe drops under SPARK_GRAFT_PROBE_MAX (default 0.7
+    s/pass) or SPARK_GRAFT_PROBE_WAIT_SEC (default 900) elapses; if
+    the deadline passes, run anyway but mark host_throttled so the
+    JSON is self-describing. Set SPARK_GRAFT_PROBE_WAIT_SEC=0 to skip
+    waiting (iterating locally)."""
+    import time as _time
+
+    limit = float(os.environ.get("SPARK_GRAFT_PROBE_MAX", "0.7"))
+    wait = float(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "900"))
+    history = [_host_probe_once()]
+    deadline = _time.time() + wait
+    while history[-1] > limit and _time.time() < deadline:
+        print(
+            f"bench: host probe {history[-1]:.3f} s/pass > {limit} "
+            "(bandwidth-throttled) - waiting 60s for a healthy window",
+            file=sys.stderr,
+            flush=True,
+        )
+        _time.sleep(60)
+        history.append(_host_probe_once())
+    return history[-1], history, history[-1] > limit
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    host_probe, probe_history, host_throttled = _probe_gate()
 
     from pyspark.sql import functions as F
 
@@ -47,20 +88,6 @@ def main() -> None:
         )
 
     timings: dict[str, float] = {}
-
-    # host-state calibration, reported in the JSON: this box's memory
-    # bandwidth swings 2-4x across the day (noisy neighbor; BENCH.md
-    # r3 note) — ~0.33 s/pass healthy, >1 s throttled. Judge bench
-    # numbers against this, not across rounds at face value.
-    import numpy as _np
-    import time as _time
-
-    _x = _np.random.rand(50_000_000)
-    _t0 = _time.time()
-    for _ in range(3):
-        _np.sqrt(_x * 1.000001 + 3)
-    host_probe = round((_time.time() - _t0) / 3, 3)
-    del _x
 
     def timed(name, fn, repeat: int = 2):
         """min of ``repeat`` runs — comparable to the reference's
@@ -158,6 +185,27 @@ def main() -> None:
     timed(
         "stitched_polygonize_grid400",
         lambda: stitched_polygonize(
+            grid4_df,
+            tile_size=50.0,
+            buffer=1.5,
+            bbox=(0.0, 0.0, float(g4), float(g4)),
+            drop_collapsed=True,
+        ).count(),
+    )
+
+    # r4: boundary-chain stitch — the lattice-friendly alternative to
+    # level escalation (one trace pass; only boundary chains shuffle)
+    from geo_polygonize_spark.operators.chain_stitch import chain_stitched_polygonize
+
+    timed(
+        "chain_stitched_grid100",
+        lambda: chain_stitched_polygonize(
+            grid_df, tile_size=25.0, buffer=1.5, bbox=(0.0, 0.0, float(gn), float(gn)), drop_collapsed=True
+        ).count(),
+    )
+    timed(
+        "chain_stitched_grid400",
+        lambda: chain_stitched_polygonize(
             grid4_df,
             tile_size=50.0,
             buffer=1.5,
@@ -283,6 +331,8 @@ def main() -> None:
                 "n_pipeline_rows": n_out,
                 "dedup_docs_per_sec": docs_per_sec,
                 "host_bandwidth_probe_sec": host_probe,
+                "host_probe_history_sec": probe_history,
+                "host_throttled": host_throttled,
             }
         )
     )

@@ -261,6 +261,31 @@ def prune_dangles(
     return removed
 
 
+def successor_permutation(g: PlanarGraph) -> np.ndarray:
+    """The raw next-CCW successor permutation over ALL half-edges —
+    ``succ[e] = next_ccw[sym(e)]`` with NO dangle pruning and no mark
+    filtering (the face walk of the full multigraph, dangles included
+    as zero-width spur excursions). Used by the boundary-chain stitch,
+    whose per-tile kernels must agree on successors WITHOUT any
+    tile-local pruning decision (pruning depends on the window, so two
+    tiles could disagree; spur excursions are instead cancelled after
+    ring closure, which is window-independent)."""
+    if g.adj_de is None:
+        raise RuntimeError("sort_edges must run before successor_permutation")
+    n_de = g.de_src.size
+    next_ptr = np.full(n_de, -1, dtype=np.int64)
+    va = g.adj_de
+    vsrc = g.de_src[va]
+    if va.size:
+        is_first = np.concatenate(([True], vsrc[1:] != vsrc[:-1]))
+        is_last = np.concatenate((vsrc[:-1] != vsrc[1:], [True]))
+        nxt = np.empty(va.size, dtype=np.int64)
+        nxt[:-1] = va[1:]
+        nxt[np.flatnonzero(is_last)] = va[np.flatnonzero(is_first)]
+        next_ptr[va] = nxt
+    return next_ptr[np.arange(n_de) ^ 1]
+
+
 def edge_rings(g: PlanarGraph):
     """Next-CCW minimal ring tracing (reference planar_graph.rs:475-561).
 

@@ -1,0 +1,631 @@
+"""Boundary-chain stitched polygonize — the single-trace alternative to
+the level-escalation chain in ``stitch.py`` (SURVEY.md §7 step 4's
+original sketch, r3 VERDICT item 4).
+
+Why: the level design re-NODES escalated windows at every level, and on
+lattice-like linework (the reference's canonical grid benches,
+reference benches/polygonize_bench.rs:7-38) every tile boundary
+escalates, so each level re-pays noding+tracing over most of the data.
+Here the segment data is noded and traced EXACTLY ONCE (one grouped-map
+pass); everything that crosses a tile boundary leaves the kernel as an
+open boundary CHAIN — perimeter-scale data — and only chains flow
+through the merge shuffles.
+
+Protocol (each step local and deterministic):
+
+1. **Claiming.** After windowed noding (global snap grid), every
+   half-edge ``g`` is CLAIMED by exactly one tile: the tile whose core
+   (half-open ``[x0+i·ts, x0+(i+1)·ts)`` cell) contains ``tail(g)``
+   (the half-edge's origin node). Cores partition the plane and
+   coordinates are snapped, so ownership is bit-deterministic across
+   tiles.
+2. **Exactness window.** The tile's buffered window must contain every
+   claimed half-edge and its immediate predecessor, with complete
+   fans at their heads. A noded sub-segment is never longer than its
+   input segment, so ``buffer ≥ max input segment length`` guarantees
+   one full step out of the core stays inside the window; the operator
+   enforces ``buffer_eff = max(buffer, L_max + 4·snap_grid)`` (one
+   narrow aggregate). Within the window, sub-segmentation equals the
+   global noding (any splitter of an in-window span touches the
+   window — the same complete-fan argument as stitch.py step 1).
+3. **Tracing.** The next-CCW successor permutation runs over the FULL
+   multigraph with NO dangle pruning (pruning is window-dependent, so
+   two tiles could disagree near a window edge; instead dangles ride
+   through as zero-width spur excursions and are cancelled exactly
+   after ring closure — reduction of adjacent reverse edge pairs on
+   the cyclic edge word, which is window-independent). Claimed edges
+   decompose under the successor permutation into
+   * complete cycles (every edge claimed here) → rings, emitted now;
+   * maximal open chains → rows ``(head_key, tail_key, coords)``.
+4. **Linking keys.** A chain's ``tail_key`` is the identity hash of
+   its LAST claimed half-edge (both endpoints snapped, bit-exact in
+   every window that contains them); the FOLLOWING chain — claimed by
+   the neighbor tile that owns the next core — computed its first edge
+   as ``succ`` of that same half-edge and stamps the same hash as its
+   ``head_key``. So the chain graph's successor pointer IS
+   ``tail_key``; no discovery join is needed.
+5. **Cycle closure.** ``connected_keepers`` (operators/dedup.py — the
+   same pointer-doubling min-label CC used for dedup keepers) labels
+   each chain with its cycle id in O(log cycle length) rounds over
+   narrow (id, id) rows; one ``groupBy(cycle)`` gathers each ring's
+   chains (a ring's chain count is perimeter/tile_size — one task
+   holds one polygon boundary, the same row-size assumption as
+   POLYGON_SCHEMA), and a kernel walks the key links, concatenates
+   coordinates, cancels spurs, and emits the closed ring. A dangling
+   link (tail with no matching head) is topologically impossible under
+   (1)+(2), so the kernel RAISES on it rather than dropping data.
+6. **Assembly.** The ring set (local + merged) feeds the same
+   classification / twin-promotion / hole-assignment pipeline as
+   stitch.py (local kernel or distributed joins) — semantics
+   identical to the reference polygonizer (polygonizer.rs:124-261).
+
+Scale shape: one wide shuffle of segment data (the tile repartition),
+then shuffles over chain rows only. For a W×W-tile lattice the level
+design's escalation re-traces O(W²) cells log W times; here the chain
+stages move O(W·tiles_crossed) rows. Skew: the one grouped-map pass
+uses the same explicit repartition as tiled_polygonize; a pathological
+single tile can still be hot (no sub-split here yet — documented
+limitation vs stitch.py's 3c).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..kernels.graph import build_graph, sort_edges, successor_permutation
+from ..kernels.noding import node_segments
+from ..kernels.polygonize import DEFAULT_SNAP_GRID
+from ..kernels.rings import batch_ring_stats
+from .polygonize_op import _bbox_of_segments, segmentize_df
+from .stitch import RING_SCHEMA, _tile_range_cols
+
+CHAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.IntegerType()),  # 0 ring, 1 chain
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+        T.StructField("head_key", T.LongType()),
+        T.StructField("tail_key", T.LongType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("bx1", T.DoubleType()),
+        T.StructField("by1", T.DoubleType()),
+        T.StructField("bx2", T.DoubleType()),
+        T.StructField("by2", T.DoubleType()),
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+    ]
+)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wrap-around)."""
+    h ^= h >> 30
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> 27
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> 31
+    return h
+
+
+def _edge_keys(sx, sy, dx, dy) -> np.ndarray:
+    """Deterministic int64 identity of directed half-edges from their
+    snapped endpoint coordinates (bit-exact across tiles): the four
+    float64 bit patterns chained through the splitmix64 finalizer —
+    fully vectorized (a per-edge digest call was a measured hot spot)."""
+    with np.errstate(over="ignore"):
+        h = np.full(np.shape(sx), 0x9E3779B97F4A7C15, dtype=np.uint64)
+        for a in (sx, sy, dx, dy):
+            h = _mix64(h ^ np.asarray(a, np.float64).view(np.uint64))
+    return h.view(np.int64)
+
+
+def _strip_spurs(xs: np.ndarray, ys: np.ndarray):
+    """Cancel zero-width spur excursions on a CLOSED ring (first ==
+    last): reduce adjacent reverse directed-edge pairs on the cyclic
+    edge word to its (unique) reduced form. Returns the cleaned closed
+    ring, or (None, None) if everything cancels (a pure dangle tree's
+    face walk). Exact float comparisons — coordinates are snapped."""
+    pts = list(zip(xs[:-1].tolist(), ys[:-1].tolist()))
+    n = len(pts)
+    if n < 2:
+        return None, None
+    edges = [(pts[i], pts[(i + 1) % n]) for i in range(n)]
+    stack: list = []
+    for e in edges:
+        if stack and stack[-1][0] == e[1] and stack[-1][1] == e[0]:
+            stack.pop()
+        else:
+            stack.append(e)
+    # wrap-around cancellation on the cyclic word
+    while len(stack) >= 2 and stack[0][0] == stack[-1][1] and stack[0][1] == stack[-1][0]:
+        stack.pop()
+        stack.pop(0)
+    if len(stack) < 3:
+        return None, None
+    out_x = np.fromiter((e[0][0] for e in stack), np.float64, len(stack))
+    out_y = np.fromiter((e[0][1] for e in stack), np.float64, len(stack))
+    return (
+        np.concatenate((out_x, out_x[:1])),
+        np.concatenate((out_y, out_y[:1])),
+    )
+
+
+def _rings_have_spurs(ring_xs: list, ring_ys: list) -> np.ndarray:
+    """Per-ring spur test over CLOSED ring arrays, one vectorized pass
+    over the flattened layout: ring i has a spur iff some vertex's
+    cyclic predecessor equals its successor. Returns bool per ring."""
+    n = len(ring_xs)
+    lens = np.fromiter((a.size - 1 for a in ring_xs), np.int64, n)  # open lengths
+    off = np.concatenate(([0], np.cumsum(lens)))
+    total = int(off[-1])
+    xr = np.empty(total)
+    yr = np.empty(total)
+    for i in range(n):
+        xr[off[i] : off[i + 1]] = ring_xs[i][:-1]
+        yr[off[i] : off[i + 1]] = ring_ys[i][:-1]
+    idx = np.arange(total)
+    ring_of = np.repeat(np.arange(n), lens)
+    starts = off[ring_of]
+    ends = off[ring_of + 1]
+    prv = idx - 1
+    prv[idx == starts] = ends[idx == starts] - 1
+    nxt = idx + 1
+    nxt[idx == ends - 1] = starts[idx == ends - 1]
+    spur_pos = (xr[prv] == xr[nxt]) & (yr[prv] == yr[nxt])
+    flags = np.zeros(n, dtype=bool)
+    np.logical_or.at(flags, ring_of[spur_pos], True)
+    return flags
+
+
+def _make_chain_kernel(x0, y0, ts, buffer_eff, snap_grid, cols, rows):
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_i, tile_j = int(key[0]), int(key[1])
+
+        x1, y1, x2, y2 = node_segments(
+            pdf["x1"].to_numpy(),
+            pdf["y1"].to_numpy(),
+            pdf["x2"].to_numpy(),
+            pdf["y2"].to_numpy(),
+            snap_grid,
+        )
+        empty = pd.DataFrame(
+            {
+                "kind": np.empty(0, np.int32),
+                "xs": pd.Series([], dtype=object),
+                "ys": pd.Series([], dtype=object),
+                "head_key": np.empty(0, np.int64),
+                "tail_key": np.empty(0, np.int64),
+                "area": np.empty(0, np.float64),
+                "bx1": np.empty(0, np.float64),
+                "by1": np.empty(0, np.float64),
+                "bx2": np.empty(0, np.float64),
+                "by2": np.empty(0, np.float64),
+                "cx": np.empty(0, np.float64),
+                "cy": np.empty(0, np.float64),
+            }
+        )
+        if x1.size == 0:
+            return empty
+        g = build_graph(x1, y1, x2, y2)
+        sort_edges(g)
+        succ = successor_permutation(g)
+        m = succ.size
+        if m == 0:
+            return empty
+
+        sx = g.nx[g.de_src]
+        sy = g.ny[g.de_src]
+        # claim: tail node inside this tile's core cell. The owner
+        # index is CLIPPED to the tile grid so nodes exactly on the
+        # global bbox max edge (floor index == cols/rows) belong to
+        # the last tile instead of to nobody — every half-edge must
+        # have exactly one claimant or chain links dangle.
+        ci = np.clip(np.floor((sx - x0) / ts).astype(np.int64), 0, cols - 1)
+        cj = np.clip(np.floor((sy - y0) / ts).astype(np.int64), 0, rows - 1)
+        claimed = (ci == tile_i) & (cj == tile_j)
+        idx = np.flatnonzero(claimed)
+        k = idx.size
+        if k == 0:
+            return empty
+        pred = np.empty(m, dtype=np.int64)
+        pred[succ] = np.arange(m)
+
+        pos = np.full(m, -1, dtype=np.int64)
+        pos[idx] = np.arange(k)
+        s_g = succ[idx]
+        s_in = claimed[s_g]
+        nxt = np.where(s_in, pos[s_g], np.arange(k))  # self-loop at tails
+        is_tail = ~s_in
+        p_g = pred[idx]
+        is_head = ~claimed[p_g]
+
+        rounds = int(np.ceil(np.log2(max(k, 2)))) + 1
+        # terminal (tail) of each path via pointer doubling; cycle
+        # elements land on an arbitrary in-cycle position instead
+        jump = nxt.copy()
+        for _ in range(rounds):
+            jump = jump[jump]
+        on_path = is_tail[jump]
+        # cycle id: min compact-index over the forward closure
+        lab = np.arange(k)
+        j2 = nxt.copy()
+        for _ in range(rounds):
+            lab = np.minimum(lab, lab[j2])
+            j2 = j2[j2]
+        # distance to terminal (paths) — orders a path head-first
+        dist = (~is_tail).astype(np.int64)
+        j3 = nxt.copy()
+        for _ in range(rounds):
+            dist = dist + dist[j3]
+            j3 = j3[j3]
+
+        src = g.de_src
+        dst = g.de_dst
+        gx = g.nx
+        gy = g.ny
+
+        out_rows = {
+            "kind": [],
+            "xs": [],
+            "ys": [],
+            "head_key": [],
+            "tail_key": [],
+        }
+
+        # ---- complete local cycles → rings ----------------------------
+        cyc = np.flatnonzero(~on_path)
+        ring_xs: list = []
+        ring_ys: list = []
+        if cyc.size:
+            # order within each cycle: rank from the min-label anchor
+            # (predecessor-doubling, as in graph.edge_rings)
+            cpos = np.full(k, -1, dtype=np.int64)
+            cpos[cyc] = np.arange(cyc.size)
+            cn = cpos[nxt[cyc]]  # permutation over cycle elements
+            cpred = np.empty(cyc.size, dtype=np.int64)
+            cpred[cn] = np.arange(cyc.size)
+            rep = lab[cyc]
+            # anchor = element whose global compact index equals rep
+            is_rep = cyc == rep
+            ptr = cpred.copy()
+            ptr[is_rep] = np.flatnonzero(is_rep)
+            rank = (~is_rep).astype(np.int64)
+            for _ in range(int(np.ceil(np.log2(max(cyc.size, 2)))) + 1):
+                rank = rank + rank[ptr]
+                ptr = ptr[ptr]
+            order = np.lexsort((rank, rep))
+            des = idx[cyc[order]]
+            reps = rep[order]
+            starts = np.flatnonzero(np.concatenate(([True], reps[1:] != reps[:-1])))
+            bounds = np.concatenate((starts, [des.size]))
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                ring_des = des[a:b]
+                nodes = np.empty(ring_des.size + 1, dtype=np.int64)
+                nodes[0] = src[ring_des[0]]
+                nodes[1:] = dst[ring_des]
+                ring_xs.append(gx[nodes])
+                ring_ys.append(gy[nodes])
+
+        # ---- open chains ---------------------------------------------
+        pth = np.flatnonzero(on_path)
+        if pth.size:
+            term = jump[pth]
+            order = np.lexsort((-dist[pth], term))
+            p_sorted = pth[order]
+            t_sorted = term[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], t_sorted[1:] != t_sorted[:-1]))
+            )
+            bounds = np.concatenate((starts, [p_sorted.size]))
+            head_seq = idx[p_sorted[starts]]
+            tail_seq = idx[p_sorted[bounds[1:] - 1]]
+            if not np.all(is_head[p_sorted[starts]]):
+                raise RuntimeError(
+                    "chain_stitch: path does not start at a head "
+                    f"(tile {tile_i},{tile_j}) — claim decomposition bug"
+                )
+            pe = pred[head_seq]  # link edges into each chain (exact here)
+            hks = _edge_keys(gx[src[pe]], gy[src[pe]], gx[dst[pe]], gy[dst[pe]])
+            tks = _edge_keys(
+                gx[src[tail_seq]], gy[src[tail_seq]],
+                gx[dst[tail_seq]], gy[dst[tail_seq]],
+            )
+            for ci, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])):
+                seq = idx[p_sorted[a:b]]  # head-first half-edge ids
+                nodes = np.empty(seq.size + 1, dtype=np.int64)
+                nodes[0] = src[seq[0]]
+                nodes[1:] = dst[seq]
+                out_rows["kind"].append(1)
+                out_rows["xs"].append(gx[nodes])
+                out_rows["ys"].append(gy[nodes])
+                out_rows["head_key"].append(hks[ci])
+                out_rows["tail_key"].append(tks[ci])
+
+        # ---- local ring stats (spur-cancelled) ------------------------
+        # spurs can only arise from degree-1 nodes (a U-turn in the
+        # face walk happens exactly at a fan of one edge); dangle-free
+        # tiles — the entire lattice benchmark — skip the machinery
+        n_chains = len(out_rows["kind"])
+        ring_rows = 0
+        if ring_xs:
+            if np.any(g.degree == 1):
+                spurs = _rings_have_spurs(ring_xs, ring_ys)
+                cleaned_x: list = []
+                cleaned_y: list = []
+                for i in range(len(ring_xs)):
+                    if spurs[i]:
+                        cx_, cy_ = _strip_spurs(ring_xs[i], ring_ys[i])
+                        if cx_ is None:
+                            continue
+                        cleaned_x.append(cx_)
+                        cleaned_y.append(cy_)
+                    else:
+                        cleaned_x.append(ring_xs[i])
+                        cleaned_y.append(ring_ys[i])
+            else:
+                cleaned_x, cleaned_y = ring_xs, ring_ys
+            if cleaned_x:
+                xr, yr, off, L, bx1, by1, bx2, by2, area, cxs, cys = batch_ring_stats(
+                    cleaned_x, cleaned_y
+                )
+                keep = np.flatnonzero(np.abs(area) >= 1e-9)
+                ring_rows = keep.size
+                for i in keep:
+                    o, l = off[i], L[i]
+                    out_rows["kind"].append(0)
+                    out_rows["xs"].append(np.concatenate((xr[o : o + l], xr[o : o + 1])))
+                    out_rows["ys"].append(np.concatenate((yr[o : o + l], yr[o : o + 1])))
+                    out_rows["head_key"].append(0)
+                    out_rows["tail_key"].append(0)
+                stat_arrays = (bx1, by1, bx2, by2, area, cxs, cys)
+        n_out = len(out_rows["kind"])
+        z = np.zeros(n_chains)
+        if ring_rows:
+            bx1k, by1k, bx2k, by2k, areak, cxk, cyk = stat_arrays
+            stats = [
+                np.concatenate((z, a[keep]))
+                for a in (areak, bx1k, by1k, bx2k, by2k, cxk, cyk)
+            ]
+        else:
+            stats = [np.zeros(n_out)] * 7
+        obj = lambda v: pd.Series(v, dtype=object)
+        return pd.DataFrame(
+            {
+                "kind": np.asarray(out_rows["kind"], np.int32),
+                "xs": obj(out_rows["xs"]),
+                "ys": obj(out_rows["ys"]),
+                "head_key": np.asarray(out_rows["head_key"], np.int64),
+                "tail_key": np.asarray(out_rows["tail_key"], np.int64),
+                "area": stats[0],
+                "bx1": stats[1],
+                "by1": stats[2],
+                "bx2": stats[3],
+                "by2": stats[4],
+                "cx": stats[5],
+                "cy": stats[6],
+            }
+        )
+
+    return kernel
+
+
+def _merge_walk(rows) -> tuple[list, list]:
+    """Walk chain links and close every cycle in one dict pass.
+    ``rows``: iterable of (head_key, tail_key, xs, ys). Returns closed
+    (ring_xs, ring_ys) with spurs cancelled. Raises on a broken link
+    (topologically impossible under the claiming protocol)."""
+    by_head: dict = {}
+    for hk, tk, xs, ys in rows:
+        by_head[int(hk)] = (int(tk), np.asarray(xs, np.float64), np.asarray(ys, np.float64))
+    out_xs: list = []
+    out_ys: list = []
+    done: set = set()
+    for start in by_head:
+        if start in done:
+            continue
+        xs_parts = []
+        ys_parts = []
+        cur_key = start
+        n_seen = 0
+        while True:
+            tk, xs, ys = by_head[cur_key]
+            done.add(cur_key)
+            n_seen += 1
+            xs_parts.append(xs)
+            ys_parts.append(ys)
+            if tk == start:
+                break
+            if tk not in by_head or n_seen > len(by_head):
+                raise RuntimeError(
+                    f"chain_stitch: broken chain cycle: link {tk} missing "
+                    "— topology/claiming bug"
+                )
+            cur_key = tk
+        xs = np.concatenate([p if i == 0 else p[1:] for i, p in enumerate(xs_parts)])
+        ys = np.concatenate([p if i == 0 else p[1:] for i, p in enumerate(ys_parts)])
+        if xs[0] != xs[-1] or ys[0] != ys[-1]:
+            raise RuntimeError("chain_stitch: merged cycle is not closed")
+        xs2, ys2 = _strip_spurs(xs, ys)
+        if xs2 is not None:
+            out_xs.append(xs2)
+            out_ys.append(ys2)
+    return out_xs, out_ys
+
+
+def _rings_pdf(ring_xs: list, ring_ys: list, level: int) -> pd.DataFrame:
+    """Closed rings → RING_SCHEMA rows (canonicalized, degenerates
+    dropped)."""
+    if not ring_xs:
+        return pd.DataFrame(
+            {f.name: pd.Series([], dtype=object) if f.name in ("xs", "ys")
+             else np.empty(0, np.float64 if f.name not in ("level", "beacon")
+                           else (np.int32 if f.name == "level" else bool))
+             for f in RING_SCHEMA.fields}
+        )
+    xr, yr, off, L, bx1, by1, bx2, by2, area, cxs, cys = batch_ring_stats(
+        ring_xs, ring_ys
+    )
+    keep = np.flatnonzero(np.abs(area) >= 1e-9)
+    xs_out = []
+    ys_out = []
+    for i in keep:
+        o, l = off[i], L[i]
+        xs_out.append(np.concatenate((xr[o : o + l], xr[o : o + 1])))
+        ys_out.append(np.concatenate((yr[o : o + l], yr[o : o + 1])))
+    return pd.DataFrame(
+        {
+            "xs": pd.Series(xs_out, dtype=object),
+            "ys": pd.Series(ys_out, dtype=object),
+            "area": area[keep],
+            "bx1": bx1[keep],
+            "by1": by1[keep],
+            "bx2": bx2[keep],
+            "by2": by2[keep],
+            "cx": cxs[keep],
+            "cy": cys[keep],
+            "level": np.full(keep.size, level, np.int32),
+            "beacon": np.zeros(keep.size, bool),
+        }
+    )
+
+
+def _merge_chain_cycles_local(chains: DataFrame) -> DataFrame:
+    """One-task merge for perimeter-scale chain sets: coalesce(1)
+    narrowly gathers the cached chain rows (no shuffle exchange) and a
+    single dict walk closes every cycle — no CC driver rounds, no
+    per-cycle grouped-map overhead. The same latency-vs-scale trade as
+    stitch._assemble_rings_local, gated by the same kind of row-count
+    threshold."""
+
+    def merge_all(batches):
+        rows = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                rows.append((r.head_key, r.tail_key, r.xs, r.ys))
+        xs, ys = _merge_walk(rows)
+        yield _rings_pdf(xs, ys, level=1)
+
+    return chains.select("head_key", "tail_key", "xs", "ys").coalesce(1).mapInPandas(
+        merge_all, RING_SCHEMA
+    )
+
+
+def _merge_chain_cycles_distributed(chains: DataFrame) -> DataFrame:
+    """Scale-path merge: pointer-doubling CC (connected_keepers) labels
+    each chain's cycle in O(log cycle length) rounds over narrow
+    (id, id) rows; chains then hash-partition by label and every cycle
+    is walked WITHIN its partition (one kernel call per partition, many
+    cycles per call — cycles never straddle partitions because the
+    partitioner keys on the label)."""
+    from ..operators.dedup import connected_keepers
+
+    pairs = chains.select(
+        F.col("head_key").alias("id_a"), F.col("tail_key").alias("id_b")
+    )
+    labels = connected_keepers(pairs, id_col="hk")
+    labeled = chains.join(
+        labels.withColumnRenamed("hk", "head_key"), "head_key"
+    )
+    n_parts = max(
+        int(chains.sparkSession.sparkContext.defaultParallelism), 8
+    )
+    part = labeled.repartition(n_parts, "keeper")
+
+    def merge_part(batches):
+        by_label: dict = {}
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                by_label.setdefault(r.keeper, []).append(
+                    (r.head_key, r.tail_key, r.xs, r.ys)
+                )
+        all_xs: list = []
+        all_ys: list = []
+        for rows in by_label.values():
+            xs, ys = _merge_walk(rows)
+            all_xs.extend(xs)
+            all_ys.extend(ys)
+        yield _rings_pdf(all_xs, all_ys, level=1)
+
+    return part.select("keeper", "head_key", "tail_key", "xs", "ys").mapInPandas(
+        merge_part, RING_SCHEMA
+    )
+
+
+def chain_stitched_polygonize(
+    lines_df: DataFrame,
+    tile_size: float,
+    buffer: float = 1.0,
+    bbox: tuple[float, float, float, float] | None = None,
+    snap_grid: float = DEFAULT_SNAP_GRID,
+    drop_collapsed: bool = False,
+    assembly: str = "auto",
+    distributed_assembly_threshold: int = 200_000,
+    chain_merge_threshold: int = 200_000,
+) -> DataFrame:
+    """Exact distributed polygonize via boundary-chain stitching (module
+    docstring). Output semantics match ``stitched_polygonize`` /
+    single-group ``polygonize`` exactly.
+
+    ``chain_merge_threshold``: chain sets at or below it merge in one
+    coalesced task (a dict walk over perimeter-scale rows — far below
+    the per-round latency of the distributed CC path); larger sets take
+    the pointer-doubling CC + partition-local walk."""
+    from .stitch import _assemble_rings_local, assemble_rings_distributed
+
+    segments = segmentize_df(lines_df).persist()
+    if bbox is None:
+        bbox = _bbox_of_segments(segments)
+    x0, y0, x1g, y1g = (float(v) for v in bbox)
+
+    seg_len = F.sqrt(
+        (F.col("x2") - F.col("x1")) ** 2 + (F.col("y2") - F.col("y1")) ** 2
+    )
+    l_max = segments.agg(F.max(seg_len)).collect()[0][0] or 0.0
+    buffer_eff = max(float(buffer), float(l_max) * (1 + 1e-9) + 4 * snap_grid)
+
+    cols = max(int(np.ceil((x1g - x0) / tile_size)), 1)
+    rows = max(int(np.ceil((y1g - y0) / tile_size)), 1)
+    sbx1 = F.least("x1", "x2")
+    sbx2 = F.greatest("x1", "x2")
+    sby1 = F.least("y1", "y2")
+    sby2 = F.greatest("y1", "y2")
+    i_lo, i_hi, j_lo, j_hi = _tile_range_cols(
+        x0, y0, tile_size, buffer_eff, cols, rows, sbx1, sby1, sbx2, sby2
+    )
+    assigned = segments.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi))).withColumn(
+        "tile_j", F.explode(F.sequence(j_lo, j_hi))
+    )
+    spark = lines_df.sparkSession
+    n_parts = max(int(spark.sparkContext.defaultParallelism) * 2, 16)
+    assigned = assigned.repartition(n_parts, "tile_i", "tile_j")
+
+    kernel = _make_chain_kernel(
+        x0, y0, float(tile_size), buffer_eff, snap_grid, cols, rows
+    )
+    out = assigned.groupBy("tile_i", "tile_j").applyInPandas(kernel, CHAIN_SCHEMA).persist()
+
+    local_rings = out.where(F.col("kind") == 0).select(
+        "xs", "ys", "area", "bx1", "by1", "bx2", "by2", "cx", "cy",
+        F.lit(0).cast("int").alias("level"), F.lit(False).alias("beacon"),
+    )
+    chains = out.where(F.col("kind") == 1)
+    n_chains = chains.count()
+    if n_chains == 0:
+        rings = local_rings
+    elif n_chains <= chain_merge_threshold:
+        rings = local_rings.unionByName(_merge_chain_cycles_local(chains))
+    else:
+        rings = local_rings.unionByName(_merge_chain_cycles_distributed(chains))
+
+    rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).drop("beacon").persist()
+    if assembly not in ("auto", "local", "distributed"):
+        raise ValueError(f"assembly must be auto|local|distributed, got {assembly!r}")
+    if assembly == "auto":
+        assembly = (
+            "local" if rings.count() <= distributed_assembly_threshold else "distributed"
+        )
+    if assembly == "local":
+        return _assemble_rings_local(rings, drop_collapsed=drop_collapsed)
+    return assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)

@@ -167,6 +167,41 @@ def main() -> None:
     ]
     sections.append(("minhash_lsh_dedup: narrow band self-join", p, checks))
 
+    # 8. Iceberg-shaped table layer: a tile predicate on a
+    # tile-partitioned coverage table prunes at planning time AND at
+    # execution (only matching partition directories are read) —
+    # SURVEY §4's Z-order/partition-locality story made checkable
+    import shutil
+    import tempfile
+
+    from geo_polygonize_spark.sources.table import (
+        read_table,
+        scan_partition_metrics,
+        write_table,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="plans_table_")
+    try:
+        write_table(
+            polys.select("tile_i", "tile_j", "poly_id", "area", "cx", "cy"),
+            f"{tdir}/coverage",
+            ["tile_i", "tile_j"],
+            zorder=("cx", "cy", 0.0, 0.0, 1.0),
+        )
+        cov = read_table(spark, f"{tdir}/coverage")
+        m_all = scan_partition_metrics(cov)
+        m_one = scan_partition_metrics(cov.where("tile_i = 1"))
+        p = m_one["plan"]
+        checks = [
+            ("PartitionFilters in the pruned scan", "PartitionFilters" in p
+             and "tile_i" in p.split("PartitionFilters", 1)[1].splitlines()[0]),
+            (f"execution touches fewer files ({m_one['n_files']}/{m_all['n_files']})",
+             0 < m_one["n_files"] < m_all["n_files"]),
+        ]
+        sections.append(("table layer: partition-spec pruning on coverage", p, checks))
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
     lines_out = ["# PLANS — physical-plan evidence for the hot paths\n"]
     ok_all = True
     for title, plan, checks in sections:
