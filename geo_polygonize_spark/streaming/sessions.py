@@ -106,10 +106,18 @@ def sessionize_stream(events_stream: DataFrame, gap_minutes: float = 30.0) -> Da
             sid, t0, t1, n, cents = state.get
         else:
             sid = t0 = t1 = n = cents = None
-        out = []  # closed-session pdfs, one per batch with closures
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        out = []  # closed-session pdfs
+        # Arrow hands a group as MULTIPLE chunks (maxRecordsPerBatch,
+        # default 10k) in arbitrary shuffle-read order — sorting per
+        # chunk and trusting cross-chunk order mis-sessionizes (or
+        # spuriously raises) for any user with >10k events in a batch;
+        # a 1M-event bench run caught this (r4). Gather the whole
+        # group, sort ONCE, process once. Memory is O(group-per-batch)
+        # — the same rows Spark already shuffled to this task; state
+        # stays O(1).
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             # r4: vectorized within-batch — gap breaks via np.diff,
             # per-session aggregates via ufunc.reduceat; the Python
             # interpreter touches only the single batch-edge merge

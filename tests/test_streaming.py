@@ -143,3 +143,64 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == want_closed and len(got) > 50
+
+
+def test_sessionize_stream_multichunk_group(spark, tmp_path):
+    """r4 regression: a user with more events in one micro-batch than
+    the Arrow batch size arrives as MULTIPLE unsorted chunks; the
+    kernel must gather+sort the whole group (sorting per chunk and
+    trusting chunk order mis-sessionized or spuriously raised)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geo_polygonize_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        rng = np.random.default_rng(9)
+        n = 1000
+        # one user, gaps 1s..40min, rows written in SHUFFLED order
+        gaps = rng.integers(1, 40 * 60, n)
+        t = np.cumsum(gaps.astype(np.int64)) * 1_000_000 + 1_700_000_000_000_000
+        perm = rng.permutation(n)
+        rows = [(int(i), int(t[i]), 0, float(i % 7)) for i in perm]
+        ev = spark.createDataFrame(
+            rows, "event_id long, t_raw long, user_id long, value double"
+        ).select(
+            "event_id", F.timestamp_micros("t_raw").alias("ts"), "user_id", "value"
+        )
+        src = str(tmp_path / "mc_src")
+        ev.coalesce(1).write.parquet(src)
+
+        want_all = sessionize_batch(spark.read.parquet(src), gap_minutes=30.0).collect()
+        last_start = max(r["t_start_us"] for r in want_all)
+        want_closed = sorted(
+            (r["user_id"], r["session_id"], r["t_start_us"], r["t_end_us"],
+             r["n_events"], r["value_cents"])
+            for r in want_all if r["t_start_us"] != last_start
+        )
+        assert len(want_closed) >= 100  # the fixture really has many sessions
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = str(tmp_path / "mc_out")
+        q = (
+            sessionize_stream(stream, gap_minutes=30.0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "mc_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["user_id"], r["session_id"], r["t_start_us"], r["t_end_us"],
+             r["n_events"], r["value_cents"])
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == want_closed
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
