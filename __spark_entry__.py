@@ -584,6 +584,22 @@ def _q_stitched_nested(spark, sf_dir):
     return out.select(F.round("area", 6).alias("area"), "n_holes").orderBy("area")
 
 
+def _q_chain_stitched_nested(spark, sf_dir):
+    # r4 boundary-chain stitch: same semantics as the level chain but
+    # one trace pass + chain-cycle merge; the nested boxes all span
+    # many tiles, so every ring reassembles from boundary chains
+    from geo_polygonize_spark.operators.chain_stitch import chain_stitched_polygonize
+    from geo_polygonize_spark.sources.fixtures import fixture
+
+    xs, ys, _, _ = fixture("nested_holes")
+    lines = spark.createDataFrame(
+        [(i, [float(v) for v in x], [float(v) for v in y], "fx") for i, (x, y) in enumerate(zip(xs, ys))],
+        "line_id long, xs array<double>, ys array<double>, dataset string",
+    )
+    out = chain_stitched_polygonize(lines, tile_size=10.0, buffer=2.0, bbox=(0.0, 0.0, 100.0, 100.0))
+    return out.select(F.round("area", 6).alias("area"), "n_holes").orderBy("area")
+
+
 def _q_ann_lsh(spark, sf_dir):
     # training-data op: LSH-bucketed ANN (scale path of ann_cosine).
     # The DuckDB oracle replicates the WHOLE algorithm — hyperplane
@@ -665,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_polygonize_nested_holes": _q_polygonize_fixture,
         "g_tiled_grid20": _q_tiled_grid,
         "g_stitched_nested_holes": _q_stitched_nested,
+        "g_chain_stitched_nested_holes": _q_chain_stitched_nested,
         "ann_cosine_top5": _q_ann_cosine,
         "ann_lsh_top3": _q_ann_lsh,
         "ann_selfjoin_top2": _q_ann_selfjoin,
@@ -1033,6 +1050,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM (VALUES (6400.0, 1), (3200.0, 1), (400.0, 0)) AS t(area, n_holes)"
         ),
         "g_stitched_nested_holes": (
+            "SELECT CAST(area AS DOUBLE) AS area, CAST(n_holes AS INTEGER) AS n_holes "
+            "FROM (VALUES (6400.0, 1), (3200.0, 1), (400.0, 0)) AS t(area, n_holes)"
+        ),
+        "g_chain_stitched_nested_holes": (
             "SELECT CAST(area AS DOUBLE) AS area, CAST(n_holes AS INTEGER) AS n_holes "
             "FROM (VALUES (6400.0, 1), (3200.0, 1), (400.0, 0)) AS t(area, n_holes)"
         ),
