@@ -553,6 +553,162 @@ def _merge_chain_cycles_distributed(chains: DataFrame) -> DataFrame:
     )
 
 
+SPLIT_SCHEMA = T.StructType(
+    [
+        T.StructField("seg_id", T.LongType()),
+        T.StructField("px", T.DoubleType()),
+        T.StructField("py", T.DoubleType()),
+    ]
+)
+
+SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("x2", T.DoubleType()),
+        T.StructField("y2", T.DoubleType()),
+    ]
+)
+
+
+def _presplit_long_segments(
+    segments: DataFrame,
+    tile_size: float,
+    x0: float,
+    y0: float,
+    x1g: float,
+    y1g: float,
+    snap_grid: float,
+) -> DataFrame:
+    """One DISTRIBUTED round of snap-round noding (snap → find_splits →
+    apply — exactly round 1 of ``node_segments`` on the same snapped,
+    normalized, deduplicated input, so the downstream per-tile noding
+    converges to the identical global noding). Purpose: inputs whose
+    segments span many tiles (the reference's full-extent grid lines)
+    force ``buffer_eff ≈ max segment length`` — every tile's window
+    covers everything and each tile re-nodes the whole input. Splitting
+    long segments at their (snapped) intersections first shortens them
+    to feature scale, collapsing buffer_eff back to the user's buffer
+    and the per-tile work back to per-tile volume.
+
+    Exactness: per-tile ``find_splits`` over plain-bbox tile subsets
+    computes, in union, exactly the global round-1 split set — every
+    intersecting pair is co-present in the tile containing its
+    intersection point (ε = 2·snap_grid boundary margin), and the
+    split for a pair is pair-deterministic, so extra co-presences only
+    produce duplicates (dropped). Cost: two narrow shuffles of segment
+    rows; triggered only when max segment length > tile_size."""
+    eps = 2.0 * max(snap_grid, 1e-300)
+    cols = max(int(np.ceil((x1g - x0) / tile_size)), 1)
+    rows = max(int(np.ceil((y1g - y0) / tile_size)), 1)
+
+    def snap_norm(batches):
+        from ..kernels.noding import snap
+
+        for pdf in batches:
+            x1 = snap(pdf["x1"].to_numpy(), snap_grid)
+            y1 = snap(pdf["y1"].to_numpy(), snap_grid)
+            x2 = snap(pdf["x2"].to_numpy(), snap_grid)
+            y2 = snap(pdf["y2"].to_numpy(), snap_grid)
+            keep = ~((x1 == x2) & (y1 == y2))
+            x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+            # orient start <= end (snap.rs:88-101 quirk incl. 1e-12 tie)
+            swap = (x1 > x2) | ((np.abs(x1 - x2) < 1e-12) & (y1 > y2))
+            nx1 = np.where(swap, x2, x1)
+            ny1 = np.where(swap, y2, y1)
+            nx2 = np.where(swap, x1, x2)
+            ny2 = np.where(swap, y1, y2)
+            yield pd.DataFrame({"x1": nx1, "y1": ny1, "x2": nx2, "y2": ny2})
+
+    snapped = (
+        segments.select("x1", "y1", "x2", "y2")
+        .mapInPandas(snap_norm, SEG_SCHEMA)
+        .dropDuplicates(["x1", "y1", "x2", "y2"])
+    )
+    seg_keyed = snapped.withColumn(
+        "seg_id", F.xxhash64("x1", "y1", "x2", "y2")
+    ).persist()
+
+    sbx1 = F.least("x1", "x2") - F.lit(eps)
+    sbx2 = F.greatest("x1", "x2") + F.lit(eps)
+    sby1 = F.least("y1", "y2") - F.lit(eps)
+    sby2 = F.greatest("y1", "y2") + F.lit(eps)
+    i_lo = F.greatest(F.floor((sbx1 - F.lit(x0)) / F.lit(tile_size)), F.lit(0)).cast("int")
+    i_hi = F.least(F.floor((sbx2 - F.lit(x0)) / F.lit(tile_size)), F.lit(cols - 1)).cast("int")
+    j_lo = F.greatest(F.floor((sby1 - F.lit(y0)) / F.lit(tile_size)), F.lit(0)).cast("int")
+    j_hi = F.least(F.floor((sby2 - F.lit(y0)) / F.lit(tile_size)), F.lit(rows - 1)).cast("int")
+    assigned = seg_keyed.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi))).withColumn(
+        "tile_j", F.explode(F.sequence(j_lo, j_hi))
+    )
+
+    def split_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.noding import find_splits
+
+        sid = pdf["seg_id"].to_numpy(np.int64)
+        si, px, py = find_splits(
+            pdf["x1"].to_numpy(),
+            pdf["y1"].to_numpy(),
+            pdf["x2"].to_numpy(),
+            pdf["y2"].to_numpy(),
+            snap_grid,
+        )
+        return pd.DataFrame({"seg_id": sid[si], "px": px, "py": py})
+
+    splits = (
+        assigned.groupBy("tile_i", "tile_j")
+        .applyInPandas(split_kernel, SPLIT_SCHEMA)
+        .dropDuplicates(["seg_id", "px", "py"])
+        .groupBy("seg_id")
+        .agg(F.collect_list("px").alias("pxs"), F.collect_list("py").alias("pys"))
+    )
+    joined = seg_keyed.join(splits, "seg_id", "left")
+
+    def apply_kernel(batches):
+        for pdf in batches:
+            ox1: list = []
+            oy1: list = []
+            ox2: list = []
+            oy2: list = []
+            for r in pdf.itertuples(index=False):
+                if r.pxs is None or len(r.pxs) == 0:
+                    ox1.append(np.array([r.x1]))
+                    oy1.append(np.array([r.y1]))
+                    ox2.append(np.array([r.x2]))
+                    oy2.append(np.array([r.y2]))
+                    continue
+                px = np.asarray(r.pxs, np.float64)
+                py = np.asarray(r.pys, np.float64)
+                # hash-collision insurance: a foreign split point falls
+                # off this segment's bbox
+                bx1, bx2 = min(r.x1, r.x2), max(r.x1, r.x2)
+                by1, by2 = min(r.y1, r.y2), max(r.y1, r.y2)
+                ok = (px >= bx1) & (px <= bx2) & (py >= by1) & (py <= by2)
+                px, py = px[ok], py[ok]
+                ax = np.concatenate(([r.x1, r.x2], px))
+                ay = np.concatenate(([r.y1, r.y2], py))
+                d2 = (ax - r.x1) ** 2 + (ay - r.y1) ** 2
+                order = np.argsort(d2, kind="stable")
+                ax, ay = ax[order], ay[order]
+                first = np.concatenate(([True], (ax[1:] != ax[:-1]) | (ay[1:] != ay[:-1])))
+                ax, ay = ax[first], ay[first]
+                nz = ~((ax[:-1] == ax[1:]) & (ay[:-1] == ay[1:]))
+                ox1.append(ax[:-1][nz])
+                oy1.append(ay[:-1][nz])
+                ox2.append(ax[1:][nz])
+                oy2.append(ay[1:][nz])
+            if ox1:
+                yield pd.DataFrame(
+                    {
+                        "x1": np.concatenate(ox1),
+                        "y1": np.concatenate(oy1),
+                        "x2": np.concatenate(ox2),
+                        "y2": np.concatenate(oy2),
+                    }
+                )
+
+    return joined.mapInPandas(apply_kernel, SEG_SCHEMA)
+
+
 def chain_stitched_polygonize(
     lines_df: DataFrame,
     tile_size: float,
@@ -583,6 +739,20 @@ def chain_stitched_polygonize(
         (F.col("x2") - F.col("x1")) ** 2 + (F.col("y2") - F.col("y1")) ** 2
     )
     l_max = segments.agg(F.max(seg_len)).collect()[0][0] or 0.0
+    if (l_max / tile_size) ** 2 >= 32.0:
+        # long-segment regime (full-extent lattice lines): buffer_eff
+        # balloons to l_max, so a segment replicates to
+        # O((l_max/tile_size)²) windows and every tile re-nodes far
+        # beyond its share. One distributed pre-split round shortens
+        # segments to feature scale first (exactness argument in
+        # _presplit_long_segments). Gated on the replication factor:
+        # below ~32 extra windows the two pre-split shuffles cost more
+        # than the redundancy they remove (measured: grid-100/tile-25
+        # regressed ~0.3 s, grid-400/tile-25 improved ~2.4 s).
+        segments = _presplit_long_segments(
+            segments, tile_size, x0, y0, x1g, y1g, snap_grid
+        ).persist()
+        l_max = segments.agg(F.max(seg_len)).collect()[0][0] or 0.0
     buffer_eff = max(float(buffer), float(l_max) * (1 + 1e-9) + 4 * snap_grid)
 
     cols = max(int(np.ceil((x1g - x0) / tile_size)), 1)
