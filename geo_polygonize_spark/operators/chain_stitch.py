@@ -179,9 +179,9 @@ def _rings_have_spurs(ring_xs: list, ring_ys: list) -> np.ndarray:
     return flags
 
 
-def _make_chain_kernel(x0, y0, ts, buffer_eff, snap_grid, cols, rows):
+def _make_chain_kernel(x0, y0, ts, buffer_eff, snap_grid, cols, rows, fmap):
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        tile_i, tile_j = int(key[0]), int(key[1])
+        tile_i, tile_j, f, sub_i, sub_j = (int(v) for v in key)
 
         x1, y1, x2, y2 = node_segments(
             pdf["x1"].to_numpy(),
@@ -217,14 +217,37 @@ def _make_chain_kernel(x0, y0, ts, buffer_eff, snap_grid, cols, rows):
 
         sx = g.nx[g.de_src]
         sy = g.ny[g.de_src]
-        # claim: tail node inside this tile's core cell. The owner
-        # index is CLIPPED to the tile grid so nodes exactly on the
-        # global bbox max edge (floor index == cols/rows) belong to
-        # the last tile instead of to nobody — every half-edge must
-        # have exactly one claimant or chain links dangle.
+        # claim: tail node inside this (sub-)tile's core cell. The
+        # owner index is CLIPPED to the tile grid so nodes exactly on
+        # the global bbox max edge (floor index == cols/rows) belong
+        # to the last tile instead of to nobody — every half-edge must
+        # have exactly one claimant or chain links dangle. Hot tiles
+        # sub-split into f×f claiming cells; the factor map is closed
+        # over so every kernel derives the same owner for any node.
         ci = np.clip(np.floor((sx - x0) / ts).astype(np.int64), 0, cols - 1)
         cj = np.clip(np.floor((sy - y0) / ts).astype(np.int64), 0, rows - 1)
-        claimed = (ci == tile_i) & (cj == tile_j)
+        f_arr = np.ones(sx.size, dtype=np.int64)
+        osi = np.zeros(sx.size, dtype=np.int64)
+        osj = np.zeros(sx.size, dtype=np.int64)
+        for (hti, htj), fv in fmap.items():
+            hot = (ci == hti) & (cj == htj)
+            if not hot.any():
+                continue
+            s = ts / fv
+            osi[hot] = np.clip(
+                np.floor((sx[hot] - (x0 + hti * ts)) / s).astype(np.int64), 0, fv - 1
+            )
+            osj[hot] = np.clip(
+                np.floor((sy[hot] - (y0 + htj * ts)) / s).astype(np.int64), 0, fv - 1
+            )
+            f_arr[hot] = fv
+        claimed = (
+            (ci == tile_i)
+            & (cj == tile_j)
+            & (f_arr == f)
+            & (osi == sub_i)
+            & (osj == sub_j)
+        )
         idx = np.flatnonzero(claimed)
         k = idx.size
         if k == 0:
@@ -719,6 +742,8 @@ def chain_stitched_polygonize(
     assembly: str = "auto",
     distributed_assembly_threshold: int = 200_000,
     chain_merge_threshold: int = 200_000,
+    max_segments_per_tile: int | None = 200_000,
+    max_split_factor: int = 16,
 ) -> DataFrame:
     """Exact distributed polygonize via boundary-chain stitching (module
     docstring). Output semantics match ``stitched_polygonize`` /
@@ -768,13 +793,63 @@ def chain_stitched_polygonize(
         "tile_j", F.explode(F.sequence(j_lo, j_hi))
     )
     spark = lines_df.sparkSession
+
+    # hot-tile skew sub-split (north_rule explicit salting; mirrors
+    # stitch.py 3c): tiles whose window draws more than
+    # max_segments_per_tile segments shatter into f×f claiming
+    # sub-cells. In the chain protocol this is ONLY a finer claiming
+    # partition — link keys are half-edge identities, so chains
+    # crossing sub-cell boundaries merge exactly like tile-crossing
+    # ones, with no ownership escalation machinery.
+    fmap: dict[tuple[int, int], int] = {}
+    if max_segments_per_tile is not None:
+        fac_rows = (
+            assigned.groupBy("tile_i", "tile_j")
+            .count()
+            .filter(F.col("count") > max_segments_per_tile)
+            .collect()
+        )
+        fmap = {
+            (int(r["tile_i"]), int(r["tile_j"])): int(
+                min(
+                    np.ceil(np.sqrt(r["count"] / max_segments_per_tile)),
+                    max_split_factor,
+                )
+            )
+            for r in fac_rows
+        }
+    if fmap:
+        fdf = spark.createDataFrame(
+            [(ti, tj, fv) for (ti, tj), fv in fmap.items()],
+            "tile_i int, tile_j int, f int",
+        )
+        assigned = assigned.join(F.broadcast(fdf), ["tile_i", "tile_j"], "left").fillna(
+            {"f": 1}
+        )
+        tile_x0 = F.lit(x0) + F.col("tile_i").cast("double") * F.lit(tile_size)
+        tile_y0 = F.lit(y0) + F.col("tile_j").cast("double") * F.lit(tile_size)
+        side = F.lit(tile_size) / F.col("f")
+        si_lo = F.greatest(F.ceil((sbx1 - F.lit(buffer_eff) - tile_x0) / side - 1), F.lit(0)).cast("int")
+        si_hi = F.least(F.floor((sbx2 + F.lit(buffer_eff) - tile_x0) / side), F.col("f") - 1).cast("int")
+        sj_lo = F.greatest(F.ceil((sby1 - F.lit(buffer_eff) - tile_y0) / side - 1), F.lit(0)).cast("int")
+        sj_hi = F.least(F.floor((sby2 + F.lit(buffer_eff) - tile_y0) / side), F.col("f") - 1).cast("int")
+        assigned = assigned.withColumn("sub_i", F.explode(F.sequence(si_lo, si_hi))).withColumn(
+            "sub_j", F.explode(F.sequence(sj_lo, sj_hi))
+        )
+    else:
+        assigned = (
+            assigned.withColumn("f", F.lit(1))
+            .withColumn("sub_i", F.lit(0))
+            .withColumn("sub_j", F.lit(0))
+        )
+    key_cols = ["tile_i", "tile_j", "f", "sub_i", "sub_j"]
     n_parts = max(int(spark.sparkContext.defaultParallelism) * 2, 16)
-    assigned = assigned.repartition(n_parts, "tile_i", "tile_j")
+    assigned = assigned.repartition(n_parts, *key_cols)
 
     kernel = _make_chain_kernel(
-        x0, y0, float(tile_size), buffer_eff, snap_grid, cols, rows
+        x0, y0, float(tile_size), buffer_eff, snap_grid, cols, rows, fmap
     )
-    out = assigned.groupBy("tile_i", "tile_j").applyInPandas(kernel, CHAIN_SCHEMA).persist()
+    out = assigned.groupBy(*key_cols).applyInPandas(kernel, CHAIN_SCHEMA).persist()
 
     local_rings = out.where(F.col("kind") == 0).select(
         "xs", "ys", "area", "bx1", "by1", "bx2", "by2", "cx", "cy",

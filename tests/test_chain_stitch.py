@@ -155,3 +155,48 @@ def test_chain_distributed_merge_equals_local(spark):
     want = polygonize(df, node_input=node, snap_grid=snap).collect()
     assert keyset(got) == keyset(want)
     assert sorted(round(r["area"], 6) for r in got) == [400.0, 3200.0, 6400.0]
+
+
+def test_chain_with_skew_subsplit_equals_global(spark):
+    """Hot-tile f×f claiming sub-split (tiny max_segments_per_tile):
+    chains now also cross SUB-cell boundaries and must merge exactly —
+    in the chain protocol sub-splitting is only a finer claiming
+    partition, with no escalation machinery."""
+    n = 10
+    xs, ys = grid_lines(n)
+    df = lines_to_df(spark, xs, ys)
+    bbox = (0.0, 0.0, float(n), float(n))
+    got = chain_stitched_polygonize(
+        df,
+        tile_size=5.0,
+        buffer=1.5,
+        bbox=bbox,
+        drop_collapsed=True,
+        max_segments_per_tile=10,
+        max_split_factor=4,
+    ).collect()
+    want = polygonize(df, node_input=True, drop_collapsed=True).collect()
+    assert keyset(got) == keyset(want)
+    assert len(got) == n * n
+
+
+def test_chain_subsplit_big_rings_and_dangles(spark):
+    """Sub-splits + cross-tile rings + dangles together: nested boxes
+    (span every sub-window) with a whisker, forced tiny sub-cells."""
+    xs, ys, node, snap = fixture("nested_holes")
+    xs = xs + [[50.0, 120.0]]
+    ys = ys + [[50.0, 50.0]]
+    df = lines_to_df(spark, xs, ys)
+    got = chain_stitched_polygonize(
+        df,
+        tile_size=10.0,
+        buffer=2.0,
+        bbox=(0.0, 0.0, 120.0, 100.0),
+        max_segments_per_tile=4,
+        max_split_factor=3,
+    ).collect()
+    want = polygonize(df, node_input=True).collect()
+    assert keyset(got) == keyset(want)
+    # nested boxes + the whisker's net-0 promoted hull (present in the
+    # global trace too — keyset above pins the full equivalence)
+    assert sorted(round(r["area"], 6) for r in got) == [0.0, 400.0, 3200.0, 6400.0]
