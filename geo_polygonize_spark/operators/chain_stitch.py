@@ -763,7 +763,9 @@ def chain_stitched_polygonize(
     seg_len = F.sqrt(
         (F.col("x2") - F.col("x1")) ** 2 + (F.col("y2") - F.col("y1")) ** 2
     )
-    l_max = segments.agg(F.max(seg_len)).collect()[0][0] or 0.0
+    _st = segments.agg(F.max(seg_len).alias("l"), F.count("*").alias("n")).collect()[0]
+    l_max = _st["l"] or 0.0
+    n_segments = int(_st["n"])
     if (l_max / tile_size) ** 2 >= 32.0:
         # long-segment regime (full-extent lattice lines): buffer_eff
         # balloons to l_max, so a segment replicates to
@@ -777,7 +779,11 @@ def chain_stitched_polygonize(
         segments = _presplit_long_segments(
             segments, tile_size, x0, y0, x1g, y1g, snap_grid
         ).persist()
-        l_max = segments.agg(F.max(seg_len)).collect()[0][0] or 0.0
+        _st = segments.agg(
+            F.max(seg_len).alias("l"), F.count("*").alias("n")
+        ).collect()[0]
+        l_max = _st["l"] or 0.0
+        n_segments = int(_st["n"])
     buffer_eff = max(float(buffer), float(l_max) * (1 + 1e-9) + 4 * snap_grid)
 
     cols = max(int(np.ceil((x1g - x0) / tile_size)), 1)
@@ -802,7 +808,10 @@ def chain_stitched_polygonize(
     # crossing sub-cell boundaries merge exactly like tile-crossing
     # ones, with no ownership escalation machinery.
     fmap: dict[tuple[int, int], int] = {}
-    if max_segments_per_tile is not None:
+    # a tile's window count is bounded by the total segment count, so
+    # when the whole input fits one kernel task no tile can be hot —
+    # skip the per-tile count job entirely (the common small case)
+    if max_segments_per_tile is not None and n_segments > max_segments_per_tile:
         fac_rows = (
             assigned.groupBy("tile_i", "tile_j")
             .count()
@@ -856,7 +865,15 @@ def chain_stitched_polygonize(
         F.lit(0).cast("int").alias("level"), F.lit(False).alias("beacon"),
     )
     chains = out.where(F.col("kind") == 1)
-    n_chains = chains.count()
+    # ONE job over the cached kernel output supplies both decisions
+    # (merge strategy + assembly strategy): n_chains exactly, and
+    # n_local + n_chains as an upper bound on the final ring count
+    # (each chain cycle yields ≤ its chain count in rings) — replacing
+    # the two separate full-cache count jobs of the first version.
+    kc = {int(r["kind"]): int(r["n"]) for r in
+          out.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    n_chains = kc.get(1, 0)
+    n_rings_upper = kc.get(0, 0) + n_chains
     if n_chains == 0:
         rings = local_rings
     elif n_chains <= chain_merge_threshold:
@@ -869,7 +886,7 @@ def chain_stitched_polygonize(
         raise ValueError(f"assembly must be auto|local|distributed, got {assembly!r}")
     if assembly == "auto":
         assembly = (
-            "local" if rings.count() <= distributed_assembly_threshold else "distributed"
+            "local" if n_rings_upper <= distributed_assembly_threshold else "distributed"
         )
     if assembly == "local":
         return _assemble_rings_local(rings, drop_collapsed=drop_collapsed)
