@@ -167,6 +167,42 @@ def main() -> None:
     ]
     sections.append(("minhash_lsh_dedup: narrow band self-join", p, checks))
 
+    # 7b. chain-stitch trace stage: segment data crosses ONE exchange
+    # (the claiming-key repartition) into the grouped-map trace kernel;
+    # chain merging later moves only chain rows
+    from geo_polygonize_spark.operators.chain_stitch import (
+        CHAIN_SCHEMA,
+        _make_chain_kernel,
+        _tile_range_cols as _trc,
+    )
+    from geo_polygonize_spark.operators.polygonize_op import segmentize_df as _segdf
+
+    segs = _segdf(lines)
+    ci_lo, ci_hi, cj_lo, cj_hi = _trc(
+        0.0, 0.0, 4.0, 1.5, 3, 3,
+        F.least("x1", "x2"), F.least("y1", "y2"),
+        F.greatest("x1", "x2"), F.greatest("y1", "y2"),
+    )
+    chain_assigned = (
+        segs.withColumn("tile_i", F.explode(F.sequence(ci_lo, ci_hi)))
+        .withColumn("tile_j", F.explode(F.sequence(cj_lo, cj_hi)))
+        .withColumn("f", F.lit(1))
+        .withColumn("sub_i", F.lit(0))
+        .withColumn("sub_j", F.lit(0))
+        .repartition(8, "tile_i", "tile_j", "f", "sub_i", "sub_j")
+    )
+    ck = _make_chain_kernel(0.0, 0.0, 4.0, 1.5, 1e-10, 3, 3, {})
+    chain_out = chain_assigned.groupBy(
+        "tile_i", "tile_j", "f", "sub_i", "sub_j"
+    ).applyInPandas(ck, CHAIN_SCHEMA)
+    p = plan_of(chain_out)
+    checks = [
+        ("one exchange into the trace kernel", p.count("- Exchange") == 1),
+        ("grouped-map trace kernel present", "FlatMapGroupsInPandas" in p),
+        ("no cartesian product", "CartesianProduct" not in p),
+    ]
+    sections.append(("chain_stitch trace: one shuffle of segment data", p, checks))
+
     # 8. Iceberg-shaped table layer: a tile predicate on a
     # tile-partitioned coverage table prunes at planning time AND at
     # execution (only matching partition directories are read) —
