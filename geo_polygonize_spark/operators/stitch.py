@@ -108,8 +108,16 @@ def stitched_polygonize(
     distributed_assembly_threshold: int = 200_000,
     max_segments_per_tile: int | None = 200_000,
     max_split_factor: int = 16,
+    strategy: str = "level",
 ) -> DataFrame:
     """Exact distributed polygonize with no maximum polygon size.
+
+    ``strategy``: "level" (this body — beacon-pruned level escalation;
+    the default, best on sparse linework) or "chain" (delegates to
+    ``chain_stitch.chain_stitched_polygonize`` — one trace pass +
+    boundary-chain merge; measured faster on dense lattice linework,
+    BENCH.md r4). Both produce identical output to the single-group
+    ``polygonize``.
 
     Output matches the single-group ``polygonize`` exactly (same ring
     set, same assembly semantics), but every stage is distributed, and
@@ -123,6 +131,23 @@ def stitched_polygonize(
     call), "local" (always single-group), or "distributed" (always
     the DataFrame joins — the unbounded-scale path).
     """
+    if strategy == "chain":
+        from .chain_stitch import chain_stitched_polygonize
+
+        return chain_stitched_polygonize(
+            lines_df,
+            tile_size,
+            buffer=buffer,
+            bbox=bbox,
+            snap_grid=snap_grid,
+            drop_collapsed=drop_collapsed,
+            assembly=assembly,
+            distributed_assembly_threshold=distributed_assembly_threshold,
+            max_segments_per_tile=max_segments_per_tile,
+            max_split_factor=max_split_factor,
+        )
+    if strategy != "level":
+        raise ValueError(f"strategy must be level|chain, got {strategy!r}")
     segments = segmentize_df(lines_df).persist()
     if bbox is None:
         bbox = _bbox_of_segments(segments)

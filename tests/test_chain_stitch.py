@@ -200,3 +200,24 @@ def test_chain_subsplit_big_rings_and_dangles(spark):
     # nested boxes + the whisker's net-0 promoted hull (present in the
     # global trace too — keyset above pins the full equivalence)
     assert sorted(round(r["area"], 6) for r in got) == [0.0, 400.0, 3200.0, 6400.0]
+
+
+def test_stitched_strategy_chain_dispatch(spark):
+    """stitched_polygonize(strategy="chain") delegates to the chain
+    engine and matches the level strategy exactly."""
+    import pytest
+
+    from geo_polygonize_spark.operators.stitch import stitched_polygonize
+
+    xs, ys = grid_lines(8)
+    df = lines_to_df(spark, xs, ys)
+    bbox = (0.0, 0.0, 8.0, 8.0)
+    got = stitched_polygonize(
+        df, tile_size=3.0, buffer=1.5, bbox=bbox, drop_collapsed=True, strategy="chain"
+    ).collect()
+    want = stitched_polygonize(
+        df, tile_size=3.0, buffer=1.5, bbox=bbox, drop_collapsed=True
+    ).collect()
+    assert keyset(got) == keyset(want) and len(got) == 64
+    with pytest.raises(ValueError, match="strategy must be"):
+        stitched_polygonize(df, tile_size=3.0, strategy="nope")
