@@ -677,10 +677,12 @@ def _presplit_long_segments(
         )
         return pd.DataFrame({"seg_id": sid[si], "px": px, "py": py})
 
+    # no dropDuplicates stage: cross-tile duplicate split points ride
+    # into the collect and the apply kernel's post-sort dedup removes
+    # them — one fewer 2×-split-row shuffle
     splits = (
         assigned.groupBy("tile_i", "tile_j")
         .applyInPandas(split_kernel, SPLIT_SCHEMA)
-        .dropDuplicates(["seg_id", "px", "py"])
         .groupBy("seg_id")
         .agg(F.collect_list("px").alias("pxs"), F.collect_list("py").alias("pys"))
     )
@@ -881,7 +883,7 @@ def chain_stitched_polygonize(
     else:
         rings = local_rings.unionByName(_merge_chain_cycles_distributed(chains))
 
-    rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).drop("beacon").persist()
+    rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).drop("beacon")
     if assembly not in ("auto", "local", "distributed"):
         raise ValueError(f"assembly must be auto|local|distributed, got {assembly!r}")
     if assembly == "auto":
@@ -889,5 +891,10 @@ def chain_stitched_polygonize(
             "local" if n_rings_upper <= distributed_assembly_threshold else "distributed"
         )
     if assembly == "local":
+        # single consumer: the coalesced assembly task reads the ring
+        # plan once (local rings straight off the cached kernel output,
+        # chain rings through the merge) — persisting here would only
+        # copy 10⁵ ring arrays into a second cache
         return _assemble_rings_local(rings, drop_collapsed=drop_collapsed)
-    return assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)
+    # distributed assembly re-consumes the ring set from several joins
+    return assemble_rings_distributed(rings.persist(), drop_collapsed=drop_collapsed)
