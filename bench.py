@@ -38,14 +38,15 @@ def _probe_gate() -> tuple[float, list[float], bool]:
     """r4 (VERDICT r3 #1): don't record bench numbers on a throttled
     host if waiting a bit buys a healthy window. Re-probe every 60 s
     until the probe drops under SPARK_GRAFT_PROBE_MAX (default 0.7
-    s/pass) or SPARK_GRAFT_PROBE_WAIT_SEC (default 900) elapses; if
+    s/pass) or SPARK_GRAFT_PROBE_WAIT_SEC (default 600 — bounded so a
+    harness-side timeout can never swallow the whole run) elapses; if
     the deadline passes, run anyway but mark host_throttled so the
     JSON is self-describing. Set SPARK_GRAFT_PROBE_WAIT_SEC=0 to skip
     waiting (iterating locally)."""
     import time as _time
 
     limit = float(os.environ.get("SPARK_GRAFT_PROBE_MAX", "0.7"))
-    wait = float(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "900"))
+    wait = float(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "600"))
     history = [_host_probe_once()]
     deadline = _time.time() + wait
     while history[-1] > limit and _time.time() < deadline:
