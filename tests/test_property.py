@@ -175,3 +175,44 @@ def test_property_apng_roundtrip_exact(w, h, n_frames, seed):
         assert np.array_equal(a, b)
     sel = apng_decode(blob, indices=[n_frames - 1])
     assert np.array_equal(sel[0], frames[-1])
+
+
+@pytest.mark.parametrize("seed", [3, 17, 41])
+def test_chain_stitch_agrees_with_global(spark, seed):
+    """Random linework (dangles, crossings, collinear pieces) through
+    the boundary-chain engine — including forced claiming sub-splits —
+    must reproduce the global polygonize exactly. Random segments of
+    length up to ~56 against tile 10 also exercise the pre-split
+    trigger and the spur-cancellation path."""
+    from geo_polygonize_spark.operators.chain_stitch import chain_stitched_polygonize
+    from geo_polygonize_spark.operators.polygonize_op import polygonize
+
+    from .conftest import lines_to_df
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 40, size=(60, 4))
+    xs = [np.array([p[0], p[2]]) for p in pts]
+    ys = [np.array([p[1], p[3]]) for p in pts]
+    df = lines_to_df(spark, xs, ys)
+    key = lambda rows: sorted(
+        (round(r["cx"], 5), round(r["cy"], 5), round(r["area"], 5), r["n_holes"]) for r in rows
+    )
+    want = key(polygonize(df, node_input=True, drop_collapsed=True).collect())
+    got = key(
+        chain_stitched_polygonize(
+            df, tile_size=10.0, buffer=4.0, bbox=(0.0, 0.0, 40.0, 40.0), drop_collapsed=True
+        ).collect()
+    )
+    assert got == want
+    got_split = key(
+        chain_stitched_polygonize(
+            df,
+            tile_size=10.0,
+            buffer=4.0,
+            bbox=(0.0, 0.0, 40.0, 40.0),
+            drop_collapsed=True,
+            max_segments_per_tile=15,
+            max_split_factor=3,
+        ).collect()
+    )
+    assert got_split == want
