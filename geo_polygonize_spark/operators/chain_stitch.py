@@ -689,47 +689,45 @@ def _presplit_long_segments(
     joined = seg_keyed.join(splits, "seg_id", "left")
 
     def apply_kernel(batches):
+        # the noder's own vectorized split application over the whole
+        # Arrow batch (kernels.noding._apply_splits — literally the
+        # function the global noder runs in round 1, so the pre-split
+        # output is its exact distributed replica; no per-segment
+        # Python)
+        from ..kernels.noding import _apply_splits
+
         for pdf in batches:
-            ox1: list = []
-            oy1: list = []
-            ox2: list = []
-            oy2: list = []
-            for r in pdf.itertuples(index=False):
-                if r.pxs is None or len(r.pxs) == 0:
-                    ox1.append(np.array([r.x1]))
-                    oy1.append(np.array([r.y1]))
-                    ox2.append(np.array([r.x2]))
-                    oy2.append(np.array([r.y2]))
-                    continue
-                px = np.asarray(r.pxs, np.float64)
-                py = np.asarray(r.pys, np.float64)
-                # hash-collision insurance: a foreign split point falls
-                # off this segment's bbox
-                bx1, bx2 = min(r.x1, r.x2), max(r.x1, r.x2)
-                by1, by2 = min(r.y1, r.y2), max(r.y1, r.y2)
-                ok = (px >= bx1) & (px <= bx2) & (py >= by1) & (py <= by2)
-                px, py = px[ok], py[ok]
-                ax = np.concatenate(([r.x1, r.x2], px))
-                ay = np.concatenate(([r.y1, r.y2], py))
-                d2 = (ax - r.x1) ** 2 + (ay - r.y1) ** 2
-                order = np.argsort(d2, kind="stable")
-                ax, ay = ax[order], ay[order]
-                first = np.concatenate(([True], (ax[1:] != ax[:-1]) | (ay[1:] != ay[:-1])))
-                ax, ay = ax[first], ay[first]
-                nz = ~((ax[:-1] == ax[1:]) & (ay[:-1] == ay[1:]))
-                ox1.append(ax[:-1][nz])
-                oy1.append(ay[:-1][nz])
-                ox2.append(ax[1:][nz])
-                oy2.append(ay[1:][nz])
-            if ox1:
-                yield pd.DataFrame(
-                    {
-                        "x1": np.concatenate(ox1),
-                        "y1": np.concatenate(oy1),
-                        "x2": np.concatenate(ox2),
-                        "y2": np.concatenate(oy2),
-                    }
+            n = len(pdf)
+            if n == 0:
+                continue
+            x1 = pdf["x1"].to_numpy(np.float64)
+            y1 = pdf["y1"].to_numpy(np.float64)
+            x2 = pdf["x2"].to_numpy(np.float64)
+            y2 = pdf["y2"].to_numpy(np.float64)
+            lens = np.fromiter(
+                (0 if v is None else len(v) for v in pdf["pxs"]), np.int64, n
+            )
+            if lens.sum():
+                seg_idx = np.repeat(np.arange(n), lens)
+                px = np.concatenate(
+                    [np.asarray(v, np.float64) for v in pdf["pxs"] if v is not None and len(v)]
                 )
+                py = np.concatenate(
+                    [np.asarray(v, np.float64) for v in pdf["pys"] if v is not None and len(v)]
+                )
+                # hash-collision insurance: a foreign split point falls
+                # off its segment's bbox
+                bx1 = np.minimum(x1, x2)[seg_idx]
+                bx2 = np.maximum(x1, x2)[seg_idx]
+                by1 = np.minimum(y1, y2)[seg_idx]
+                by2 = np.maximum(y1, y2)[seg_idx]
+                ok = (px >= bx1) & (px <= bx2) & (py >= by1) & (py <= by2)
+                nx1, ny1, nx2, ny2 = _apply_splits(
+                    x1, y1, x2, y2, seg_idx[ok], px[ok], py[ok]
+                )
+            else:
+                nx1, ny1, nx2, ny2 = x1, y1, x2, y2
+            yield pd.DataFrame({"x1": nx1, "y1": ny1, "x2": nx2, "y2": ny2})
 
     return joined.mapInPandas(apply_kernel, SEG_SCHEMA)
 
