@@ -454,6 +454,20 @@ def _merge_walk(rows) -> tuple[list, list]:
         n_seen = 0
         while True:
             tk, xs, ys = by_head[cur_key]
+            # absolute link validation: the followed chain must begin
+            # at the previous chain's end VERTEX. Link keys are 64-bit
+            # hashes; at ~10^12 half-edges birthday collisions become
+            # plausible, and a collided link would otherwise splice two
+            # unrelated rings SILENTLY. Coordinates are snapped, so
+            # exact float equality is the correct test. (For runs
+            # beyond ~10^11 edges, widen _edge_keys to two mixes —
+            # this check turns any collision into a loud error first.)
+            if xs_parts and (xs[0] != xs_parts[-1][-1] or ys[0] != ys_parts[-1][-1]):
+                raise RuntimeError(
+                    "chain_stitch: link key matched but chain geometry is "
+                    "discontinuous — 64-bit edge-key collision; widen "
+                    "_edge_keys for this input size"
+                )
             done.add(cur_key)
             n_seen += 1
             xs_parts.append(xs)
