@@ -70,6 +70,8 @@ limitation vs stitch.py's 3c).
 
 from __future__ import annotations
 
+import collections
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -132,16 +134,17 @@ def _strip_spurs(xs: np.ndarray, ys: np.ndarray):
     if n < 2:
         return None, None
     edges = [(pts[i], pts[(i + 1) % n]) for i in range(n)]
-    stack: list = []
+    stack: collections.deque = collections.deque()
     for e in edges:
         if stack and stack[-1][0] == e[1] and stack[-1][1] == e[0]:
             stack.pop()
         else:
             stack.append(e)
-    # wrap-around cancellation on the cyclic word
+    # wrap-around cancellation on the cyclic word (deque: a long spur
+    # chain straddling the walk origin cancels in O(n), not O(n²))
     while len(stack) >= 2 and stack[0][0] == stack[-1][1] and stack[0][1] == stack[-1][0]:
         stack.pop()
-        stack.pop(0)
+        stack.popleft()
     if len(stack) < 3:
         return None, None
     out_x = np.fromiter((e[0][0] for e in stack), np.float64, len(stack))
@@ -770,6 +773,7 @@ def chain_stitched_polygonize(
     from .stitch import _assemble_rings_local, assemble_rings_distributed
 
     segments = segmentize_df(lines_df).persist()
+    _to_unpersist = [segments]  # cache hygiene: dropped once consumed
     if bbox is None:
         bbox = _bbox_of_segments(segments)
     x0, y0, x1g, y1g = (float(v) for v in bbox)
@@ -793,11 +797,15 @@ def chain_stitched_polygonize(
         segments = _presplit_long_segments(
             segments, tile_size, x0, y0, x1g, y1g, snap_grid
         ).persist()
+        _to_unpersist.append(segments)
         _st = segments.agg(
             F.max(seg_len).alias("l"), F.count("*").alias("n")
         ).collect()[0]
         l_max = _st["l"] or 0.0
         n_segments = int(_st["n"])
+        # the stats job above materialized the split set; the raw
+        # segment cache is no longer read by anything downstream
+        _to_unpersist.pop(0).unpersist()
     buffer_eff = max(float(buffer), float(l_max) * (1 + 1e-9) + 4 * snap_grid)
 
     # Unlike tiled_polygonize (where tile_size defines output
@@ -910,6 +918,10 @@ def chain_stitched_polygonize(
           out.groupBy("kind").agg(F.count("*").alias("n")).collect()}
     n_chains = kc.get(1, 0)
     n_rings_upper = kc.get(0, 0) + n_chains
+    # the counts job materialized the kernel output cache — the segment
+    # cache behind it is dead weight from here on
+    for df_ in _to_unpersist:
+        df_.unpersist()
     if n_chains == 0:
         rings = local_rings
     elif n_chains <= chain_merge_threshold:
@@ -924,11 +936,15 @@ def chain_stitched_polygonize(
         assembly = (
             "local" if n_rings_upper <= distributed_assembly_threshold else "distributed"
         )
+    # Materialize the merged ring set once (executor-local checkpoint:
+    # lineage truncated, blocks GC-cleaned when the frame drops — unlike
+    # a DataFrame persist, which lives in the CacheManager until an
+    # explicit unpersist) so the kernel-output cache can be released
+    # NOW instead of leaking across calls in a long-lived session.
+    rings = rings.localCheckpoint(eager=True)
+    out.unpersist()
     if assembly == "local":
-        # single consumer: the coalesced assembly task reads the ring
-        # plan once (local rings straight off the cached kernel output,
-        # chain rings through the merge) — persisting here would only
-        # copy 10⁵ ring arrays into a second cache
         return _assemble_rings_local(rings, drop_collapsed=drop_collapsed)
-    # distributed assembly re-consumes the ring set from several joins
-    return assemble_rings_distributed(rings.persist(), drop_collapsed=drop_collapsed)
+    # distributed assembly re-consumes the ring set from several joins —
+    # the checkpoint blocks serve every consumer, no extra persist needed
+    return assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)

@@ -128,7 +128,6 @@ def frame_sample(
     id_col: str = "media_id",
     bytes_col: str = "bytes",
     fps: float = 25.0,
-    n_frames_col: str | None = None,
 ) -> DataFrame:
     """Video frame sampling with a REAL decoder (r3 — the xor stub is
     gone): the blob is an animated-PNG container (sources/apng.py);
@@ -140,19 +139,8 @@ def frame_sample(
     decompressed — APNG full-frame streams are independent, so the
     decoder skips unsampled frames entirely (``apng_decode(indices=)``).
     The frame count comes from the container's acTL chunk, not a
-    trusted side column. ``n_frames_col`` is DEPRECATED and ignored
-    (r3 replaced the trusted-column stub with the real container
-    parse; the kwarg is kept one round so r2-era callers get a
-    warning, not a TypeError)."""
-    if n_frames_col is not None:
-        import warnings
-
-        warnings.warn(
-            "frame_sample(n_frames_col=...) is deprecated and ignored: "
-            "the frame count is read from the APNG acTL chunk",
-            DeprecationWarning,
-            stacklevel=2,
-        )
+    trusted side column (the r2-era ``n_frames_col`` kwarg was
+    deprecated in r4 and removed in r5)."""
     from ..sources.apng import apng_count_frames, apng_decode
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -42,6 +42,23 @@ from ..functions.cells import morton_cell_col
 _META_DIR = "_gp_metadata"
 
 
+class CommitConflictError(RuntimeError):
+    """Two writers raced to commit the same snapshot id; the loser's
+    data files are left unreferenced (invisible to readers) and the
+    caller should retry the whole write against the new table state."""
+
+
+def _strip_uri_scheme(p: str) -> str:
+    # Spark's inputFiles() returns URIs ("file:/x/y"); local tooling
+    # passes plain paths. Normalize both to a filesystem path.
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        # file://host/path and file:///path both reduce to /path locally
+        while p.startswith("//"):
+            p = p[1:]
+    return os.path.abspath(p)
+
+
 def _meta_path(path: str) -> str:
     return os.path.join(path, _META_DIR)
 
@@ -103,10 +120,13 @@ def write_table(
     # files first, manifest last: the manifest write IS the commit
     df.write.mode("errorifexists").partitionBy(*partition_by).parquet(data_dir)
     # manifest entries are (data-root, path-relative-to-root) — no URI
-    # scheme or table-path assumptions baked into the metadata
-    marker = f"/{data_root}/"
+    # scheme or table-path assumptions baked into the metadata. Paths
+    # are made relative against the known data_dir prefix (not by
+    # searching for a "/data-N/" substring, which would mis-split when
+    # the TABLE path itself contains a matching segment).
+    abs_data_dir = os.path.abspath(data_dir)
     new_files = [
-        [data_root, f[f.index(marker) + len(marker):]]
+        [data_root, os.path.relpath(_strip_uri_scheme(f), abs_data_dir)]
         for f in spark.read.option("basePath", data_dir).parquet(data_dir).inputFiles()
     ]
     if mode == "append" and snaps:
@@ -127,10 +147,26 @@ def write_table(
     }
     md = _meta_path(path)
     os.makedirs(md, exist_ok=True)
-    tmp = os.path.join(md, f".snap-{snap_id}.json.tmp")
+    tmp = os.path.join(md, f".snap-{snap_id}.json.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, os.path.join(md, f"snap-{snap_id}.json"))  # atomic commit
+    # Exclusive-create commit: os.link fails with EEXIST if another
+    # writer already committed this snapshot id, so concurrent writers
+    # cannot silently overwrite each other's manifest (the loser's data
+    # files stay unreferenced and invisible — same recovery story as a
+    # crashed writer). Real Iceberg resolves this with an atomic
+    # compare-and-swap on the catalog pointer; the retry contract is
+    # identical.
+    final = os.path.join(md, f"snap-{snap_id}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"write_table: snapshot {snap_id} at {path} was committed by a "
+            "concurrent writer; re-read the table state and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return snap_id
 
 

@@ -416,17 +416,16 @@ class TestMediaOps:
         with pytest.raises(ValueError, match="holds only 3 frame stream"):
             apng_decode(blob, indices=[0, 7])
 
-    def test_frame_sample_deprecated_kwarg_warns(self, spark):
-        """r4 (ADVICE r3): the r2-era n_frames_col kwarg warns and is
-        ignored instead of raising TypeError."""
-        import warnings
+    def test_frame_sample_deprecated_kwarg_removed(self, spark):
+        """r5 (VERDICT r4 item 6): the r2-era n_frames_col kwarg —
+        deprecated with a warning in r4 — is now gone entirely."""
+        import pytest
 
         from geo_polygonize_spark.operators.media import frame_sample
         from geo_polygonize_spark.sources.images import synth_videos
 
         vids = synth_videos(spark, 1, n_frames=5)
-        with warnings.catch_warnings(record=True) as w:
-            warnings.simplefilter("always")
-            out = frame_sample(vids, every_n=2, n_frames_col="n_frames")
-            assert any(issubclass(x.category, DeprecationWarning) for x in w)
+        with pytest.raises(TypeError, match="n_frames_col"):
+            frame_sample(vids, every_n=2, n_frames_col="n_frames")
+        out = frame_sample(vids, every_n=2)
         assert sorted(r["frame_idx"] for r in out.collect()) == [0, 2, 4]

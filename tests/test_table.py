@@ -113,3 +113,62 @@ class TestTable:
         stray = _coverage_like(spark, n_tiles=1, seed=7)
         stray.write.partitionBy("tile_i", "tile_j").parquet(f"{t}/data-99")
         assert read_table(spark, t).count() == 200  # stray files invisible
+
+    def test_table_path_containing_data_marker(self, spark, tmp_path):
+        """r5 (ADVICE r4): a table ROOTED at a path that itself contains
+        a '/data-N/' segment must still produce correct manifest-relative
+        paths (the r4 code split on the FIRST marker occurrence)."""
+        t = str(tmp_path / "data-0" / "cov")
+        df = _coverage_like(spark)
+        write_table(df, t, ["tile_i", "tile_j"])
+        assert read_table(spark, t).count() == df.count()
+
+    def test_commit_conflict_raises_not_overwrites(self, spark, tmp_path):
+        """r5 (ADVICE r4): a second writer racing to the same snapshot id
+        gets CommitConflictError; the first commit's manifest survives."""
+        import json
+        import os
+
+        from geo_polygonize_spark.sources.table import (
+            CommitConflictError,
+            _load_snapshot,
+        )
+
+        t = str(tmp_path / "cov")
+        write_table(_coverage_like(spark), t, ["tile_i", "tile_j"])
+        # simulate the race: a competing writer commits snap-1 between
+        # this writer's snapshot-id computation and its manifest link
+        winner = {
+            "snapshot_id": 1, "parent_id": 0, "mode": "append",
+            "partition_spec": ["tile_i", "tile_j"], "zorder": None,
+            "committed_at_ms": 0, "files": [],
+        }
+        os.makedirs(f"{t}/_gp_metadata", exist_ok=True)
+        # the loser computed snap_id=1 before the winner landed; replay
+        # its commit path by pre-creating the winner's manifest and
+        # asserting write_table's exclusive link refuses to clobber it.
+        # (write_table re-lists snapshots, so it would pick id 2 here —
+        # instead exercise the commit primitive exactly as a true
+        # concurrent interleave would hit it.)
+        with open(f"{t}/_gp_metadata/snap-1.json", "w") as f:
+            json.dump(winner, f)
+        tmp = f"{t}/_gp_metadata/.snap-1.json.tmp.test"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": 1, "files": [["data-1", "x.parquet"]]}, f)
+        with pytest.raises(FileExistsError):
+            os.link(tmp, f"{t}/_gp_metadata/snap-1.json")
+        os.unlink(tmp)
+        # and the full write path surfaces it as CommitConflictError:
+        # force the id collision by monkey-filling the listing window
+        import geo_polygonize_spark.sources.table as tbl
+
+        orig = tbl._list_snapshots
+        try:
+            tbl._list_snapshots = lambda p: [0]  # stale listing: winner invisible
+            with pytest.raises(CommitConflictError):
+                write_table(
+                    _coverage_like(spark, seed=3), t, ["tile_i", "tile_j"]
+                )
+        finally:
+            tbl._list_snapshots = orig
+        assert _load_snapshot(t, 1) == winner  # winner untouched
