@@ -61,6 +61,39 @@ def _probe_gate() -> tuple[float, list[float], bool]:
     return history[-1], history, history[-1] > limit
 
 
+_RUNS_LOG = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_runs.jsonl"
+)
+
+
+def _consolidate(result: dict) -> dict:
+    """r5 (VERDICT r4 #1): min-over-runs with per-query probe context,
+    emitted by bench.py itself instead of hand-built after the fact.
+    Every run appends its full result to bench_runs.jsonl; each emitted
+    JSON carries the best wall per query across all logged runs at the
+    same (sf, cpus), stamped with the probe value CLOSEST IN TIME to
+    that query in the run that achieved it — so a fast number recorded
+    in a throttled session and a slow number from a healthy one are
+    distinguishable at a glance."""
+    runs = [result]
+    if os.path.exists(_RUNS_LOG):
+        with open(_RUNS_LOG) as fh:
+            for line in fh:
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if r.get("sf") == result["sf"] and r.get("cpus") == result["cpus"]:
+                    runs.append(r)
+    best: dict[str, dict] = {}
+    for r in runs:
+        for q, v in r.get("queries", {}).items():
+            p = r.get("probe_at_query", {}).get(q, r.get("host_bandwidth_probe_sec"))
+            if q not in best or v < best[q]["sec"]:
+                best[q] = {"sec": v, "probe_at_query": p}
+    return {"n_runs": len(runs), "best_of_runs": best}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -89,6 +122,28 @@ def main() -> None:
         )
 
     timings: dict[str, float] = {}
+    probe_at_query: dict[str, float] = {}
+    current_probe = {"v": host_probe}
+
+    def begin_group(name: str) -> None:
+        """Section boundary (r5, VERDICT r4 #1 and #5): re-probe host
+        bandwidth so each query is stamped with a probe value measured
+        NEAR it (the single start-of-run gate demonstrably certifies
+        only the start — BENCH_r04.json passed healthy at 0.326 yet ran
+        2× slower than throttled-probe sessions of identical code), and
+        clear session state (cached blocks + unreferenced shuffle files
+        via GC) so late heavy queries aren't taxed by the accumulated
+        debris of earlier sections (the reproducible ~2× full-bench
+        minhash overhead)."""
+        import gc as _gc
+
+        spark.catalog.clearCache()
+        _gc.collect()  # drop py4j refs so ContextCleaner can see them
+        spark._jvm.System.gc()  # ContextCleaner removes dead shuffles
+        current_probe["v"] = _host_probe_once()
+        probe_history.append(current_probe["v"])
+        print(f"bench: section {name}: probe {current_probe['v']:.3f} s/pass",
+              file=sys.stderr, flush=True)
 
     def timed(name, fn, repeat: int = 2):
         """min of ``repeat`` runs — comparable to the reference's
@@ -103,6 +158,7 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
+        probe_at_query[name] = current_probe["v"]
         return out
 
     # ---- setup (not timed in the metric): image table on parquet ----
@@ -133,6 +189,7 @@ def main() -> None:
     ).count()
 
     # ---- reference workloads (grid / random polygonize) -------------
+    begin_group("polygonize")
     gn = 100
     gx, gy = grid_lines(gn)
     grid_df = lines_df(gx, gy)
@@ -216,6 +273,7 @@ def main() -> None:
     )
 
     # ---- flagship: images/sec through the full pipeline -------------
+    begin_group("image_pipeline")
     n = 50
     lx, ly = grid_lines(n)
     cover_df = lines_df(lx, ly)
@@ -231,6 +289,7 @@ def main() -> None:
     images_per_sec = n_images / timings["image_pipeline"]
 
     # ---- operator analogs on the TPC-H-ish tables --------------------
+    begin_group("operator_analogs")
     qs = entrymod.queries()
     for name in ("p3_p7_dedup_distinct", "o4_j2_argmin_parent", "j2_pip_rect", "o1_morton_cell"):
         timed(name, lambda name=name: qs[name](spark, sf_dir).count())
@@ -241,6 +300,7 @@ def main() -> None:
     # Jaccard verify → connected-components keepers, end to end
     from geo_polygonize_spark.operators.dedup import minhash_dedup_keepers
 
+    begin_group("dedup")
     n_docs = 30_000
     # hex tokens: the char-5-gram space is huge, so unrelated docs have
     # near-zero Jaccard (a shared-prefix vocab like "tokNNN" collapses
@@ -279,6 +339,7 @@ def main() -> None:
     from geo_polygonize_spark.operators.polygonize_op import tiled_polygonize as _tp
     from geo_polygonize_spark.operators.spatial_join import knn_join_cells, pip_join
 
+    begin_group("scale_paths")
     gscale = 200  # 40k unit cells
     sx, sy = grid_lines(gscale)
     cover = _tp(
@@ -319,24 +380,35 @@ def main() -> None:
     cover.unpersist()
     pts.unpersist()
 
-    print(
-        json.dumps(
-            {
-                "metric": "images_per_sec_pipeline",
-                "value": round(images_per_sec, 2),
-                "unit": "images/sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "n_images": n_images,
-                "n_pipeline_rows": n_out,
-                "dedup_docs_per_sec": docs_per_sec,
-                "host_bandwidth_probe_sec": host_probe,
-                "host_probe_history_sec": probe_history,
-                "host_throttled": host_throttled,
-            }
-        )
-    )
+    result = {
+        "metric": "images_per_sec_pipeline",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "queries": timings,
+        "probe_at_query": probe_at_query,
+        "sf": sf,
+        "cpus": cpus,
+        "n_images": n_images,
+        "n_pipeline_rows": n_out,
+        "dedup_docs_per_sec": docs_per_sec,
+        "host_bandwidth_probe_sec": host_probe,
+        # the headline's OWN probe context (VERDICT r4 #1): the probe
+        # measured at the image_pipeline section boundary, not at run
+        # start — this is the number the headline should be read against
+        "headline_probe_sec": probe_at_query.get("image_pipeline", host_probe),
+        "host_probe_history_sec": probe_history,
+        "host_throttled": host_throttled,
+        "recorded_at": int(time.time()),
+    }
+    # log the run, then emit the JSON line with the cross-run best-of
+    # consolidation attached (computed over all logged runs + this one)
+    result["consolidated"] = _consolidate(result)
+    try:
+        with open(_RUNS_LOG, "a") as fh:
+            fh.write(json.dumps({k: v for k, v in result.items() if k != "consolidated"}) + "\n")
+    except OSError:
+        pass  # read-only checkout: still emit the line
+    print(json.dumps(result))
     spark.stop()
 
 
