@@ -930,11 +930,16 @@ def chain_stitched_polygonize(
         rings = local_rings.unionByName(_merge_chain_cycles_distributed(chains))
 
     rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).drop("beacon")
-    if assembly not in ("auto", "local", "distributed"):
-        raise ValueError(f"assembly must be auto|local|distributed, got {assembly!r}")
+    if assembly not in ("auto", "local", "distributed", "split"):
+        raise ValueError(
+            f"assembly must be auto|local|distributed|split, got {assembly!r}"
+        )
     if assembly == "auto":
+        # r5: large ring sets take the per-tile SPLIT assembly (one
+        # coords shuffle, narrow residue) instead of the global joins —
+        # the r4 perf-weak global-assembly floor
         assembly = (
-            "local" if n_rings_upper <= distributed_assembly_threshold else "distributed"
+            "local" if n_rings_upper <= distributed_assembly_threshold else "split"
         )
     # Materialize the merged ring set once (executor-local checkpoint:
     # lineage truncated, blocks GC-cleaned when the frame drops — unlike
@@ -945,6 +950,12 @@ def chain_stitched_polygonize(
     out.unpersist()
     if assembly == "local":
         return _assemble_rings_local(rings, drop_collapsed=drop_collapsed)
+    if assembly == "split":
+        from .assembly import assemble_rings_split
+
+        return assemble_rings_split(
+            rings, x0, y0, float(tile_size), drop_collapsed=drop_collapsed
+        )
     # distributed assembly re-consumes the ring set from several joins —
     # the checkpoint blocks serve every consumer, no extra persist needed
     return assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)

@@ -290,18 +290,28 @@ def stitched_polygonize(
     # hash (rotation-normalized arrays) for the assembly joins.
     rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).drop("beacon")
 
-    if assembly not in ("auto", "local", "distributed"):
-        raise ValueError(f"assembly must be auto|local|distributed, got {assembly!r}")
+    if assembly not in ("auto", "local", "distributed", "split"):
+        raise ValueError(
+            f"assembly must be auto|local|distributed|split, got {assembly!r}"
+        )
     # the ring set is the hub of the assembly DAG (promotion anti-join,
     # cell join, hole aggregation all re-consume it) — persist it in
     # every mode or the whole level pipeline recomputes per consumer
     rings = rings.persist()
     if assembly == "auto":
+        # r5: large ring sets take the per-tile split assembly (one
+        # coords shuffle + narrow residue; operators/assembly.py)
         assembly = (
-            "local" if rings.count() <= distributed_assembly_threshold else "distributed"
+            "local" if rings.count() <= distributed_assembly_threshold else "split"
         )
     if assembly == "local":
         return _assemble_rings_local(rings, drop_collapsed=drop_collapsed)
+    if assembly == "split":
+        from .assembly import assemble_rings_split
+
+        return assemble_rings_split(
+            rings, x0, y0, float(tile_size), drop_collapsed=drop_collapsed
+        )
     return assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)
 
 
