@@ -357,15 +357,26 @@ def assemble_rings_split(
     drop_collapsed: bool = False,
     global_rows_gate: int = 100_000,
     global_coords_gate: int = 10_000_000,
+    rings_cached: bool = False,
 ) -> DataFrame:
     """Assemble polygons from a ring set (RING_SCHEMA + rid), per-tile
     for tile-local rings (module docstring). Output schema and
     semantics identical to ``assemble_rings_distributed``; falls back
-    to it when the global residue exceeds the gates."""
+    to it when the global residue exceeds the gates.
+
+    ``rings_cached``: pass True when the caller already persisted or
+    checkpointed ``rings``; otherwise this function persists it for its
+    own 2-3 consumers and releases it before returning (the rare
+    survivor-coords / patch joins re-anchor on an executor-local
+    checkpoint first, so the returned plan never references the
+    transient cache)."""
     from .stitch import assemble_rings_distributed
 
     spark = rings.sparkSession
     ts = float(tile_size)
+    own_cache = not rings_cached
+    if own_cache:
+        rings = rings.persist()
     nd = rings.where(F.abs("area") >= 1e-9)  # polygonizer.rs:138-140
     ti = F.floor((F.col("bx1") - x0) / ts).cast("int")
     tj = F.floor((F.col("by1") - y0) / ts).cast("int")
@@ -377,16 +388,18 @@ def assemble_rings_split(
         "is_local", is_local
     )
 
+    # ONE job both gates and fetches the global residue: the row gate
+    # rides on limit(), the coords gate on a driver-side sum of the
+    # (bounded) collected rows — no separate counting pass
     glob = tagged.where(~F.col("is_local")).select(*_RING_COLS)
-    gstat = glob.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.size("xs")), F.lit(0)).alias("c"),
-    ).collect()[0]
-    if int(gstat["n"]) > global_rows_gate or int(gstat["c"]) > global_coords_gate:
+    grows = [r.asDict() for r in glob.limit(global_rows_gate + 1).collect()]
+    if (
+        len(grows) > global_rows_gate
+        or sum(len(r["xs"]) for r in grows) > global_coords_gate
+    ):
         # pathological tiling (rings >> tile): the split brings nothing
+        # (rings is cached on either branch of ``rings_cached``)
         return assemble_rings_distributed(rings, drop_collapsed)
-
-    grows = [r.asDict() for r in glob.collect()]
     gshells, gvisitors = _promote_rows(grows)
 
     payload = {
@@ -471,28 +484,55 @@ def assemble_rings_split(
         .localCheckpoint(eager=True)  # consumed by 3-4 narrow readers
     )
 
+    release = (lambda: rings.unpersist()) if own_cache else None
+    return _finish_assignments(
+        spark, out, gshells, rings.select("rid", "xs", "ys"),
+        drop_collapsed, release=release,
+    )
+
+
+def _finish_assignments(
+    spark,
+    out: DataFrame,
+    gshells: list,
+    coords_df: DataFrame,
+    drop_collapsed: bool,
+    extra_partials: DataFrame | None = None,
+    release=None,
+) -> DataFrame:
+    """Shared narrow finish over a SPLIT_SCHEMA kernel output: resolve
+    per-hole winners (finals + min over partial candidate rows), net
+    the global shells, fetch hole coordinates ONLY for polygons that
+    survive, and patch rare local-shell winners onto the emitted
+    polygons via a broadcast join.
+
+    ``coords_df``: (rid, xs, ys) source for hole-coordinate fetches.
+    Before calling ``release`` (which frees whatever caches back
+    ``coords_df``), the needed subset is pruned and re-anchored on an
+    executor-local checkpoint — the returned plan never references the
+    caller's transient caches."""
     polys = out.where(F.col("kind") == K_POLY)
-    # ONE narrow job decides the rest of the plan shape (skip the
-    # deferred-min shuffle when nothing deferred — the common case)
-    kc = {int(r["kind"]): int(r["n"]) for r in
-          out.groupBy("kind").agg(F.count("*").alias("n")).collect()}
     finals = out.where(F.col("kind") == K_FINAL).select(
         "h_rid", "cand_rid", "cand_area", "h_area"
     )
-    if kc.get(K_PARTIAL, 0):
-        deferred = (
-            out.where(F.col("kind") == K_PARTIAL)
-            .groupBy("h_rid")
-            .agg(F.min(F.struct("cand_area", "cand_rid", "h_area")).alias("w"))
-            .select(
-                "h_rid", F.col("w.cand_rid").alias("cand_rid"),
-                F.col("w.cand_area").alias("cand_area"),
-                F.col("w.h_area").alias("h_area"),
-            )
+    # deferred-min rides in the same plan (an empty K_PARTIAL set costs
+    # one empty exchange inside the job — cheaper than a separate
+    # existence-check job)
+    partial_src = out.where(F.col("kind") == K_PARTIAL).select(
+        "h_rid", "cand_rid", "cand_area", "h_area"
+    )
+    if extra_partials is not None:
+        partial_src = partial_src.unionByName(extra_partials)
+    deferred = (
+        partial_src.groupBy("h_rid")
+        .agg(F.min(F.struct("cand_area", "cand_rid", "h_area")).alias("w"))
+        .select(
+            "h_rid", F.col("w.cand_rid").alias("cand_rid"),
+            F.col("w.cand_area").alias("cand_area"),
+            F.col("w.h_area").alias("h_area"),
         )
-        winners = finals.unionByName(deferred)
-    else:
-        winners = finals
+    )
+    winners = finals.unionByName(deferred)
 
     # ONE aggregate job over the (narrow) winner rows serves both the
     # global-shell nets AND the local-winner detection: the distinct
@@ -504,7 +544,7 @@ def assemble_rings_split(
         winners.groupBy("cand_rid")
         .agg(F.sum("h_area").alias("hsum"), F.count("*").alias("hn"))
         .collect()
-    ) if (kc.get(K_FINAL, 0) or kc.get(K_PARTIAL, 0)) else []
+    )
     gagg = {}
     local_win_rids = []
     for r in wagg:
@@ -520,28 +560,52 @@ def assemble_rings_split(
         if drop_collapsed and net <= 1e-6:  # polygonizer.rs:255-258
             continue
         surviving.append((r, prom, net, hn))
+
+    # prune + re-anchor the hole-coordinate source, then free caller
+    # caches: the survivor-coords / patch joins below are LAZY
+    # (consumed by the caller after return)
+    needs_coords_later = bool(local_win_rids) or any(
+        hn > 0 for _, _, _, hn in surviving
+    )
+    if needs_coords_later:
+        ids = winners.select(F.col("h_rid").alias("rid")).distinct()
+        coords_df = coords_df.join(ids, "rid", "left_semi").localCheckpoint(
+            eager=True
+        )
+    if release is not None:
+        release()
+
     gpolys = None
     if surviving:
-        base_rows = [
-            (
-                int(r["rid"]),
-                list(r["xs"])[::-1] if prom else list(r["xs"]),
-                list(r["ys"])[::-1] if prom else list(r["ys"]),
-                net, hn, float(r["cx"]), float(r["cy"]),
-            )
-            for r, prom, net, hn in surviving
-        ]
+        # pandas + Arrow path: the residue can hold thousands of rows
+        # with coordinate arrays, and row-by-row py4j conversion is the
+        # slow way to ship them
+        gpdf = pd.DataFrame(
+            {
+                "rid": pd.Series([int(r["rid"]) for r, _, _, _ in surviving], dtype="int64"),
+                "shell_xs": pd.Series(
+                    [list(r["xs"])[::-1] if prom else list(r["xs"])
+                     for r, prom, _, _ in surviving], dtype=object),
+                "shell_ys": pd.Series(
+                    [list(r["ys"])[::-1] if prom else list(r["ys"])
+                     for r, prom, _, _ in surviving], dtype=object),
+                "net_area": pd.Series([net for _, _, net, _ in surviving], dtype="float64"),
+                "n_holes": pd.Series([hn for _, _, _, hn in surviving], dtype="int32"),
+                "cx": pd.Series([float(r["cx"]) for r, _, _, _ in surviving], dtype="float64"),
+                "cy": pd.Series([float(r["cy"]) for r, _, _, _ in surviving], dtype="float64"),
+            }
+        )
         gbase = spark.createDataFrame(
-            base_rows,
+            gpdf,
             "rid long, shell_xs array<double>, shell_ys array<double>, "
             "net_area double, n_holes int, cx double, cy double",
         )
-        need_holes = [row[0] for row in base_rows if row[4] > 0]
+        need_holes = [int(r["rid"]) for r, _, _, hn in surviving if hn > 0]
         if need_holes:
             hole_coords = (
                 winners.where(F.col("cand_rid").isin(need_holes))
                 .join(
-                    rings.select(F.col("rid").alias("h_rid"), "xs", "ys"),
+                    coords_df.select(F.col("rid").alias("h_rid"), "xs", "ys"),
                     "h_rid",
                 )
                 .groupBy("cand_rid")
@@ -562,7 +626,8 @@ def assemble_rings_split(
         winners_l = winners.where(F.col("cand_rid").isin(local_win_rids))
         patch = (
             winners_l.join(
-                rings.select(F.col("rid").alias("h_rid"), "xs", "ys"), "h_rid"
+                coords_df.select(F.col("rid").alias("h_rid"), "xs", "ys"),
+                "h_rid",
             )
             .groupBy("cand_rid")
             .agg(
@@ -611,3 +676,489 @@ def assemble_rings_split(
     if gpolys is not None:
         result = result.unionByName(gpolys.select(*final_cols))
     return result
+
+
+# --------------------------------------------------------------------------
+# Fused variant for the chain engine: phase-2 assembly runs as a
+# mapInPandas over the CACHED trace-kernel output with NO extra shuffle.
+# Every trace-local ring's vertices lie inside the claiming (sub-)cell
+# (a fully-claimed cycle's vertices are all half-edge tails there), so
+# its bbox corner identifies that core BIT-EXACTLY and orientation-
+# invariantly: ti = clip(floor((bx1-x0)/ts)) — the min-x vertex is in
+# the core, twins (same vertex set) always co-derive. GroupBy output
+# partitions hold whole claim groups, so an in-pandas groupby inside
+# each partition reproduces the per-core grouping without an exchange.
+# Member holes can NEVER need cross-core deferral here: a nondegenerate
+# ring's centroid is strictly inside its open bbox, the open bbox of a
+# core-fitting ring contains no core-boundary gridline, and clipped
+# edge cores have no interior core boundaries — so the per-core
+# candidate set (own core's shells + broadcast merged shells) is
+# complete. Merged (chain-closed) rings form the global residue:
+# promotion driver-side, CW rings probe the touching cores as broadcast
+# visitors (partial rows, min in the shared finish).
+# --------------------------------------------------------------------------
+
+
+def _touching_cores(cx, cy, x0, y0, ts, cols, rows, fmap):
+    """Claim cores whose closure contains the point, at tile AND
+    hot-tile sub-cell granularity, mirroring the trace kernel's
+    clipped-floor claiming arithmetic float-for-float."""
+    i = min(max(int(np.floor((cx - x0) / ts)), 0), cols - 1)
+    j = min(max(int(np.floor((cy - y0) / ts)), 0), rows - 1)
+    tis = {i}
+    if cx == x0 + i * ts and i > 0:
+        tis.add(i - 1)
+    tjs = {j}
+    if cy == y0 + j * ts and j > 0:
+        tjs.add(j - 1)
+    out = []
+    for a in tis:
+        for b in tjs:
+            fv = fmap.get((a, b), 1)
+            side = ts / fv
+            tx0 = x0 + a * ts
+            ty0 = y0 + b * ts
+            u = min(max(int(np.floor((cx - tx0) / side)), 0), fv - 1)
+            v = min(max(int(np.floor((cy - ty0) / side)), 0), fv - 1)
+            us = {u}
+            if cx == tx0 + u * side and u > 0:
+                us.add(u - 1)
+            vs = {v}
+            if cy == ty0 + v * side and v > 0:
+                vs.add(v - 1)
+            for p in us:
+                for q in vs:
+                    out.append((a, b, fv, p, q))
+    return out
+
+
+def _core_key(ti, tj, fv, si, sj, rows):
+    """Single int64 group key for a claim core (f ≤ 16, si/sj < f)."""
+    return (((ti * rows + tj) * 17 + fv) * 16 + si) * 16 + sj
+
+
+def _make_fused_partition_kernel(x0, y0, ts, cols, rows, fmap, gbc, vbc):
+    """Per-PARTITION assembly kernel (mapInPandas): regroups the cached
+    trace output by claim core (derived from bbox corners — header
+    comment), then runs the same member assembly as the split kernel:
+    exact-bbox twin promotion, hole→parent candidates over (own core's
+    shells ∪ broadcast merged shells), in-task attach for local
+    winners, narrow K_FINAL rows for merged winners, K_PARTIAL probes
+    for broadcast visitor holes."""
+
+    def kernel(batches):
+        from .spatial_join import _ray_cast_rows
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        g = gbc.value
+        visitors = vbc.value  # [(rid, h_area, cx, cy, [core keys])]
+        n = len(pdf)
+        area = pdf["area"].to_numpy()
+        rid = pdf["rid"].to_numpy()
+        cx = pdf["cx"].to_numpy()
+        cy = pdf["cy"].to_numpy()
+        bx1 = pdf["bx1"].to_numpy()
+        by1 = pdf["by1"].to_numpy()
+        bx2 = pdf["bx2"].to_numpy()
+        by2 = pdf["by2"].to_numpy()
+        coords_x = [np.asarray(v, np.float64) for v in pdf["xs"]]
+        coords_y = [np.asarray(v, np.float64) for v in pdf["ys"]]
+
+        ti = np.clip(np.floor((bx1 - x0) / ts).astype(np.int64), 0, cols - 1)
+        tj = np.clip(np.floor((by1 - y0) / ts).astype(np.int64), 0, rows - 1)
+        f_arr = np.ones(n, dtype=np.int64)
+        si_arr = np.zeros(n, dtype=np.int64)
+        sj_arr = np.zeros(n, dtype=np.int64)
+        for (hti, htj), fv in fmap.items():
+            hot = (ti == hti) & (tj == htj)
+            if not hot.any():
+                continue
+            side = ts / fv
+            si_arr[hot] = np.clip(
+                np.floor((bx1[hot] - (x0 + hti * ts)) / side).astype(np.int64),
+                0, fv - 1,
+            )
+            sj_arr[hot] = np.clip(
+                np.floor((by1[hot] - (y0 + htj * ts)) / side).astype(np.int64),
+                0, fv - 1,
+            )
+            f_arr[hot] = fv
+        gkey = _core_key(ti, tj, f_arr, si_arr, sj_arr, rows)
+        order = np.argsort(gkey, kind="stable")
+        gk_s = gkey[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(gk_s[1:] != gk_s[:-1]) + 1, [n])
+        )
+
+        vis_by_key: dict = {}
+        for vi, v in enumerate(visitors):
+            for k in v[4]:
+                vis_by_key.setdefault(k, []).append(vi)
+        g_by_core = g.get("by_core")
+
+        out: dict = {k.name: [] for k in SPLIT_SCHEMA.fields}
+
+        def emit(kind, **kw):
+            out["kind"].append(kind)
+            for fld in SPLIT_SCHEMA.fields[1:]:
+                out[fld.name].append(kw.get(fld.name))
+
+        def best_reduce(si, hj, areas, rids):
+            """One (area, rid)-lexicographic min candidate per hole."""
+            o = np.lexsort((rids, areas, hj))
+            first = np.concatenate(([True], hj[o][1:] != hj[o][:-1]))
+            return o[first]
+
+        def local_candidates(sh, hx, hy, h_area):
+            """(si, hj) PIP-confirmed candidate pairs: hole centroids
+            vs this core's shells (polygonizer.rs:226 area rule)."""
+            if sh.size == 0 or hx.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            si, hj = bbox_join(
+                bx1[sh], by1[sh], bx2[sh], by2[sh], hx, hy, hx, hy
+            )
+            keep = np.abs(area[sh])[si] > h_area[hj] + 1e-6
+            si, hj = si[keep], hj[keep]
+            if si.size == 0:
+                return si, hj
+            inside = np.zeros(si.size, dtype=bool)
+            uq, ucount = np.unique(si, return_counts=True)
+            heavy = np.zeros(si.size, dtype=bool)
+            for u in uq[(ucount * np.fromiter(
+                (coords_x[sh[u]].size for u in uq.tolist()),
+                np.int64, uq.size,
+            )) > 4_000_000].tolist():
+                rws = np.flatnonzero(si == u)
+                heavy[rws] = True
+                inside[rws] = _pip_many_vs_ring(
+                    hx[hj[rws]], hy[hj[rws]], coords_x[sh[u]], coords_y[sh[u]]
+                )
+            light = np.flatnonzero(~heavy)
+            if light.size:
+                inside[light] = _ray_cast_rows(
+                    hx[hj[light]], hy[hj[light]],
+                    [(coords_x[sh[u]], coords_y[sh[u]]) for u in si[light].tolist()],
+                )
+            return si[inside], hj[inside]
+
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            idx = order[a:b]
+            garea = area[idx]
+            ccw = garea > 0.0
+            cw = garea < 0.0
+            by_bbox: dict = {}
+            for p in idx[ccw].tolist():
+                by_bbox.setdefault(
+                    (bx1[p], by1[p], bx2[p], by2[p]), []
+                ).append(area[p])
+            promoted = np.zeros(idx.size, dtype=bool)
+            cw_pos = np.flatnonzero(cw)
+            for pos in cw_pos.tolist():
+                p = idx[pos]
+                twins = by_bbox.get((bx1[p], by1[p], bx2[p], by2[p]), ())
+                if not any(abs(s + area[p]) < 1e-6 for s in twins):
+                    promoted[pos] = True
+            sh = idx[ccw | (cw & promoted)]  # shells (promoted CW incl.)
+            s_area = np.abs(area[sh])
+            ho = idx[cw]  # every CW ring is an assignment candidate
+            nh = ho.size
+            h_area = np.abs(area[ho])
+            hx = cx[ho]
+            hy = cy[ho]
+
+            best_area = np.full(nh, np.inf)
+            best_rid = np.full(nh, np.iinfo(np.int64).max, dtype=np.int64)
+            best_local = np.full(nh, -1, dtype=np.int64)  # pos into sh
+
+            si, hj = local_candidates(sh, hx, hy, h_area)
+            if si.size:
+                srid = rid[sh[si]]
+                sel = best_reduce(si, hj, s_area[si], srid)
+                rows_ = hj[sel]
+                best_area[rows_] = s_area[si[sel]]
+                best_rid[rows_] = srid[sel]
+                best_local[rows_] = si[sel]
+            if nh and g["n"]:
+                # per-core pre-index: only merged shells whose bbox can
+                # reach this core are tested (the padded driver index),
+                # not the whole residue — on a lattice the residue is
+                # O(√n) boundary rings and a full scan per core would
+                # be quadratic-ish
+                if g_by_core is not None:
+                    glist = list(g.get("always", ())) + list(
+                        g_by_core.get(int(gk_s[a]), ())
+                    )
+                else:
+                    glist = range(g["n"])
+                for gi in glist:
+                    ga = g["area"][gi]
+                    m = np.flatnonzero(
+                        (hx >= g["bx1"][gi]) & (hx <= g["bx2"][gi])
+                        & (hy >= g["by1"][gi]) & (hy <= g["by2"][gi])
+                        & (ga > h_area + 1e-6)
+                    )
+                    if m.size == 0:
+                        continue
+                    ins = _pip_many_vs_ring(
+                        hx[m], hy[m], g["xs"][gi], g["ys"][gi]
+                    )
+                    m = m[ins]
+                    take = (ga < best_area[m]) | (
+                        (ga == best_area[m]) & (g["rid"][gi] < best_rid[m])
+                    )
+                    rows_ = m[take]
+                    best_area[rows_] = ga
+                    best_rid[rows_] = g["rid"][gi]
+                    best_local[rows_] = -1
+
+            attach: dict = {}
+            for p in range(nh):
+                if not np.isfinite(best_area[p]):
+                    continue  # unparented hole — vanishes
+                if best_local[p] >= 0:
+                    attach.setdefault(int(best_local[p]), []).append(p)
+                else:
+                    emit(
+                        K_FINAL,
+                        h_rid=int(rid[ho[p]]),
+                        cand_rid=int(best_rid[p]),
+                        cand_area=float(best_area[p]),
+                        h_area=float(h_area[p]),
+                    )
+
+            # visitor probes: merged CW holes touching this core test
+            # against THIS core's shells only (merged-shell candidates
+            # are computed once, driver-side)
+            vids = vis_by_key.get(int(gk_s[a]), ())
+            if vids and sh.size:
+                vhx = np.fromiter((visitors[v][2] for v in vids), np.float64, len(vids))
+                vhy = np.fromiter((visitors[v][3] for v in vids), np.float64, len(vids))
+                vha = np.fromiter((visitors[v][1] for v in vids), np.float64, len(vids))
+                vsi, vhj = local_candidates(sh, vhx, vhy, vha)
+                if vsi.size:
+                    vsrid = rid[sh[vsi]]
+                    sel = best_reduce(vsi, vhj, s_area[vsi], vsrid)
+                    for s in sel.tolist():
+                        emit(
+                            K_PARTIAL,
+                            h_rid=int(visitors[vids[vhj[s]]][0]),
+                            cand_rid=int(vsrid[s]),
+                            cand_area=float(s_area[vsi[s]]),
+                            h_area=float(vha[vhj[s]]),
+                        )
+
+            for pos in range(sh.size):
+                p = sh[pos]
+                xs_p, ys_p = coords_x[p], coords_y[p]
+                if area[p] < 0:  # promoted CW: re-wind CCW
+                    xs_p, ys_p = xs_p[::-1], ys_p[::-1]
+                holes = attach.get(pos, ())
+                emit(
+                    K_POLY,
+                    rid=int(rid[p]),
+                    shell_xs=xs_p,
+                    shell_ys=ys_p,
+                    hole_xs=[coords_x[ho[q]] for q in holes],
+                    hole_ys=[coords_y[ho[q]] for q in holes],
+                    n_holes=len(holes),
+                    net_area=float(np.abs(area[p]) - h_area[list(holes)].sum()),
+                    cx=float(cx[p]),
+                    cy=float(cy[p]),
+                )
+
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype=object) for k, v in out.items()}
+        )
+
+    return kernel
+
+
+def assemble_rings_fused(
+    trace_out: DataFrame,
+    merged: DataFrame | None,
+    x0: float,
+    y0: float,
+    tile_size: float,
+    cols: int,
+    rows: int,
+    fmap: dict,
+    drop_collapsed: bool = False,
+    global_rows_gate: int = 100_000,
+    global_coords_gate: int = 10_000_000,
+    release=None,
+) -> DataFrame:
+    """Chain-engine assembly with ZERO extra shuffles of ring data:
+    phase 2 maps over the cached trace output (header comment).
+
+    ``trace_out``: the persisted CHAIN_SCHEMA kernel output (kind 0 =
+    local rings, already degenerate-filtered). ``merged``: chain-merge
+    output frame (RING_SCHEMA-ish), or None when no chains existed.
+    ``release``: caller callback freeing the trace cache — invoked once
+    the returned plan no longer references it."""
+    from .stitch import assemble_rings_distributed
+
+    import os as _os
+    import time as _time
+    _prof = bool(_os.environ.get("GP_ASM_PROF"))
+    _t = {"t": _time.time()}
+
+    def _mark(name):
+        if _prof:
+            now = _time.time()
+            print(f"ASMPROF| {name}: {now - _t['t']:.3f}", flush=True)
+            _t["t"] = now
+
+    spark = trace_out.sparkSession
+    ts = float(tile_size)
+    ringrows = trace_out.where(F.col("kind") == 0).select(
+        F.xxhash64("xs", "ys").alias("rid"),
+        "xs", "ys", "area", "bx1", "by1", "bx2", "by2", "cx", "cy",
+    )
+
+    grows: list = []
+    if merged is not None:
+        merged_rid = (
+            merged.where(F.abs("area") >= 1e-9)
+            .withColumn("rid", F.xxhash64("xs", "ys"))
+            .select(*_RING_COLS)
+        )
+        grows = [
+            r.asDict()
+            for r in merged_rid.limit(global_rows_gate + 1).collect()
+        ]
+        if (
+            len(grows) > global_rows_gate
+            or sum(len(r["xs"]) for r in grows) > global_coords_gate
+        ):
+            # pathological residue: hand the FULL ring set to the
+            # distributed assembly (lossless, slower)
+            rings = ringrows.unionByName(merged_rid).persist()
+            return assemble_rings_distributed(rings, drop_collapsed)
+    _mark("merged_collect+promote")
+    gshells, gvisitors = _promote_rows(grows)
+
+    ng = len(gshells)
+    g_bx1 = np.fromiter((r["bx1"] for r, _ in gshells), np.float64, ng)
+    g_by1 = np.fromiter((r["by1"] for r, _ in gshells), np.float64, ng)
+    g_bx2 = np.fromiter((r["bx2"] for r, _ in gshells), np.float64, ng)
+    g_by2 = np.fromiter((r["by2"] for r, _ in gshells), np.float64, ng)
+    g_area = np.fromiter((abs(r["area"]) for r, _ in gshells), np.float64, ng)
+    g_rid = np.fromiter((r["rid"] for r, _ in gshells), np.int64, ng)
+    g_xs = [np.asarray(r["xs"], np.float64) for r, _ in gshells]
+    g_ys = [np.asarray(r["ys"], np.float64) for r, _ in gshells]
+
+    # per-core reach index (padded one core each side — a superset is
+    # harmless, every candidate is still bbox+PIP-tested in the kernel)
+    by_core: dict = {}
+    g_always: list = []  # world-spanning shells (e.g. the hull): tested
+    # by every core rather than enumerated into a giant index
+    if ng:
+        i_lo = np.clip(np.floor((g_bx1 - x0) / ts).astype(np.int64) - 1, 0, cols - 1)
+        i_hi = np.clip(np.floor((g_bx2 - x0) / ts).astype(np.int64) + 1, 0, cols - 1)
+        j_lo = np.clip(np.floor((g_by1 - y0) / ts).astype(np.int64) - 1, 0, rows - 1)
+        j_hi = np.clip(np.floor((g_by2 - y0) / ts).astype(np.int64) + 1, 0, rows - 1)
+        for gi in range(ng):
+            span = (int(i_hi[gi]) - int(i_lo[gi]) + 1) * (
+                int(j_hi[gi]) - int(j_lo[gi]) + 1
+            )
+            if span > 4096:
+                g_always.append(gi)
+                continue
+            for a in range(int(i_lo[gi]), int(i_hi[gi]) + 1):
+                for b in range(int(j_lo[gi]), int(j_hi[gi]) + 1):
+                    fv = fmap.get((a, b), 1)
+                    if fv == 1:
+                        by_core.setdefault(_core_key(a, b, 1, 0, 0, rows), []).append(gi)
+                    else:
+                        for p in range(fv):
+                            for q in range(fv):
+                                by_core.setdefault(
+                                    _core_key(a, b, fv, p, q, rows), []
+                                ).append(gi)
+    payload = {
+        "n": ng, "rid": g_rid, "area": g_area,
+        "bx1": g_bx1, "by1": g_by1, "bx2": g_bx2, "by2": g_by2,
+        "xs": g_xs, "ys": g_ys, "by_core": by_core, "always": g_always,
+    }
+    gbc = spark.sparkContext.broadcast(payload)
+    _mark("index+broadcast")
+
+    # visitor holes: every merged CW ring, probing the cores whose
+    # closure contains its centroid; their merged-shell candidates are
+    # resolved HERE (vectorized driver numpy — bbox_join + grouped PIP,
+    # the residue can be O(√n) boundary rings on a lattice) and fed to
+    # the finish as extra partial rows
+    vis = []
+    extra_rows = []
+    if gvisitors:
+        nv = len(gvisitors)
+        v_rid = np.fromiter((r["rid"] for r in gvisitors), np.int64, nv)
+        v_ha = np.fromiter((abs(r["area"]) for r in gvisitors), np.float64, nv)
+        v_cx = np.fromiter((r["cx"] for r in gvisitors), np.float64, nv)
+        v_cy = np.fromiter((r["cy"] for r in gvisitors), np.float64, nv)
+        for vi, r in enumerate(gvisitors):
+            touch = _touching_cores(r["cx"], r["cy"], x0, y0, ts, cols, rows, fmap)
+            keys = [_core_key(a, b, fv, p, q, rows) for a, b, fv, p, q in touch]
+            vis.append(
+                (int(v_rid[vi]), float(v_ha[vi]), float(v_cx[vi]), float(v_cy[vi]), keys)
+            )
+        if ng:
+            si, hj = bbox_join(g_bx1, g_by1, g_bx2, g_by2, v_cx, v_cy, v_cx, v_cy)
+            keep = g_area[si] > v_ha[hj] + 1e-6
+            si, hj = si[keep], hj[keep]
+            if si.size:
+                inside = np.zeros(si.size, dtype=bool)
+                for u in np.unique(si).tolist():
+                    rws = np.flatnonzero(si == u)
+                    inside[rws] = _pip_many_vs_ring(
+                        v_cx[hj[rws]], v_cy[hj[rws]], g_xs[u], g_ys[u]
+                    )
+                si, hj = si[inside], hj[inside]
+            if si.size:
+                o = np.lexsort((g_rid[si], g_area[si], hj))
+                first = np.concatenate(([True], hj[o][1:] != hj[o][:-1]))
+                for s in o[first].tolist():
+                    extra_rows.append(
+                        (int(v_rid[hj[s]]), int(g_rid[si[s]]),
+                         float(g_area[si[s]]), float(v_ha[hj[s]]))
+                    )
+    vbc = spark.sparkContext.broadcast(vis)
+    _mark("visitor_candidates")
+    extra_partials = (
+        spark.createDataFrame(
+            extra_rows, "h_rid long, cand_rid long, cand_area double, h_area double"
+        )
+        if extra_rows
+        else None
+    )
+
+    kernel = _make_fused_partition_kernel(x0, y0, ts, cols, rows, fmap, gbc, vbc)
+    out = ringrows.mapInPandas(kernel, SPLIT_SCHEMA).localCheckpoint(eager=True)
+    _mark("phase2_kernel_ckpt")
+
+    # hole-coordinate source: local rings off the trace cache + the
+    # (small) merged rows already held on the driver (Arrow path — the
+    # residue can be thousands of array rows)
+    coords_df = ringrows.select("rid", "xs", "ys")
+    if grows:
+        mpdf = pd.DataFrame(
+            {
+                "rid": pd.Series([int(r["rid"]) for r in grows], dtype="int64"),
+                "xs": pd.Series([r["xs"] for r in grows], dtype=object),
+                "ys": pd.Series([r["ys"] for r in grows], dtype=object),
+            }
+        )
+        coords_df = coords_df.unionByName(
+            spark.createDataFrame(
+                mpdf, "rid long, xs array<double>, ys array<double>"
+            )
+        )
+    res = _finish_assignments(
+        spark, out, gshells, coords_df, drop_collapsed,
+        extra_partials=extra_partials, release=release,
+    )
+    _mark("finish")
+    return res

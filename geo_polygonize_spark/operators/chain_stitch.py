@@ -923,24 +923,44 @@ def chain_stitched_polygonize(
     for df_ in _to_unpersist:
         df_.unpersist()
     if n_chains == 0:
-        rings = local_rings
+        merged = None
     elif n_chains <= chain_merge_threshold:
-        rings = local_rings.unionByName(_merge_chain_cycles_local(chains))
+        merged = _merge_chain_cycles_local(chains)
     else:
-        rings = local_rings.unionByName(_merge_chain_cycles_distributed(chains))
+        merged = _merge_chain_cycles_distributed(chains)
 
-    rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).drop("beacon")
     if assembly not in ("auto", "local", "distributed", "split"):
         raise ValueError(
             f"assembly must be auto|local|distributed|split, got {assembly!r}"
         )
     if assembly == "auto":
-        # r5: large ring sets take the per-tile SPLIT assembly (one
-        # coords shuffle, narrow residue) instead of the global joins —
-        # the r4 perf-weak global-assembly floor
+        # r5: large ring sets take the FUSED per-core assembly (zero
+        # extra shuffles of ring data) instead of the global joins —
+        # the r4 perf-weak global-assembly floor. Crossover measured on
+        # the lattice sweep (BENCH.md r5): one-task local assembly wins
+        # to ~40k rings (fused pays ~4 fixed job latencies), fused wins
+        # by 160k (serial assembly of 10⁵ rings loses to 64-way tasks)
+        # — and only fused survives 100×, so the tie goes to it.
         assembly = (
-            "local" if n_rings_upper <= distributed_assembly_threshold else "split"
+            "local"
+            if n_rings_upper <= min(distributed_assembly_threshold, 100_000)
+            else "split"
         )
+    if assembly == "split":
+        from .assembly import assemble_rings_fused
+
+        # fused phase-2: maps over the cached trace output (no ring
+        # reshuffle — every trace-local ring's core is derived from
+        # its bbox corner, bit-exactly the claiming core); the finish
+        # re-anchors any late-needed coordinates, then the trace cache
+        # is released via the callback
+        return assemble_rings_fused(
+            out, merged, x0, y0, float(tile_size), cols, rows, fmap,
+            drop_collapsed=drop_collapsed, release=out.unpersist,
+        )
+
+    rings = local_rings if merged is None else local_rings.unionByName(merged)
+    rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).drop("beacon")
     # Materialize the merged ring set once (executor-local checkpoint:
     # lineage truncated, blocks GC-cleaned when the frame drops — unlike
     # a DataFrame persist, which lives in the CacheManager until an
@@ -950,12 +970,6 @@ def chain_stitched_polygonize(
     out.unpersist()
     if assembly == "local":
         return _assemble_rings_local(rings, drop_collapsed=drop_collapsed)
-    if assembly == "split":
-        from .assembly import assemble_rings_split
-
-        return assemble_rings_split(
-            rings, x0, y0, float(tile_size), drop_collapsed=drop_collapsed
-        )
     # distributed assembly re-consumes the ring set from several joins —
     # the checkpoint blocks serve every consumer, no extra persist needed
     return assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)

@@ -310,7 +310,8 @@ def stitched_polygonize(
         from .assembly import assemble_rings_split
 
         return assemble_rings_split(
-            rings, x0, y0, float(tile_size), drop_collapsed=drop_collapsed
+            rings, x0, y0, float(tile_size), drop_collapsed=drop_collapsed,
+            rings_cached=True,  # persisted above
         )
     return assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)
 
