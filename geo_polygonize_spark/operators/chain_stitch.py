@@ -761,6 +761,7 @@ def chain_stitched_polygonize(
     chain_merge_threshold: int = 200_000,
     max_segments_per_tile: int | None = 200_000,
     max_split_factor: int = 16,
+    target_segments_per_tile: int = 8000,
 ) -> DataFrame:
     """Exact distributed polygonize via boundary-chain stitching (module
     docstring). Output semantics match ``stitched_polygonize`` /
@@ -813,10 +814,14 @@ def chain_stitched_polygonize(
     # claiming partition — output is the global ring set for any tile
     # size, and exactness needs only buffer_eff ≥ max segment length.
     # So refine an overly coarse caller tile while the average per-tile
-    # noding volume stays above ~4k segments (coarse tiles re-node
-    # quadratically more than their share on dense linework; measured
-    # grid-400: caller tile 50 → 6.4 s, engine-refined 25 → ~4.5 s).
-    # The ≥8×buffer_eff floor keeps window replication bounded.
+    # noding volume stays above ``target_segments_per_tile`` (coarse
+    # tiles re-node quadratically more than their share on dense
+    # linework). r5 re-tune with the fused assembly: 8k/tile (grid-400
+    # stays at tile 50 / 64 tasks) beats the r4 4k (tile 25 / 256
+    # tasks, which paid more in boundary chains + merged residue than
+    # the finer windows saved) 7.7 s vs 9.9 s interleaved; 20k (16
+    # tasks) under-parallelizes 32 cores. The ≥8×buffer_eff floor
+    # keeps window replication bounded.
     tile_eff = float(tile_size)
     while True:
         cand = tile_eff / 2.0
@@ -825,7 +830,7 @@ def chain_stitched_polygonize(
         n_tiles = max(int(np.ceil((x1g - x0) / tile_eff)), 1) * max(
             int(np.ceil((y1g - y0) / tile_eff)), 1
         )
-        if n_segments / n_tiles <= 4000:
+        if n_segments / n_tiles <= target_segments_per_tile:
             break
         tile_eff = cand
     tile_size = tile_eff
