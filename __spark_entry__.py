@@ -580,8 +580,33 @@ def _q_stitched_nested(spark, sf_dir):
         [(i, [float(v) for v in x], [float(v) for v in y], "fx") for i, (x, y) in enumerate(zip(xs, ys))],
         "line_id long, xs array<double>, ys array<double>, dataset string",
     )
-    out = stitched_polygonize(lines, tile_size=10.0, buffer=2.0, bbox=(0.0, 0.0, 100.0, 100.0))
+    out = stitched_polygonize(lines, tile_size=10.0, buffer=2.0, bbox=(0.0, 0.0, 100.0, 100.0), strategy="level")
     return out.select(F.round("area", 6).alias("area"), "n_holes").orderBy("area")
+
+
+def _q_fused_assembly_grid(spark, sf_dir):
+    # r5 fused per-core assembly (operators/assembly.py): chain stitch
+    # with assembly="split" forced — phase-2 polygon assembly runs as a
+    # mapInPandas over the cached trace output, merged-residue shells
+    # broadcast, winners resolved by narrow rows. Grid 20 / tile 5:
+    # every claiming-core boundary column becomes merged residue, so
+    # promotion + visitor probing + hull netting all execute.
+    from geo_polygonize_spark.operators.chain_stitch import chain_stitched_polygonize
+    from geo_polygonize_spark.sources.fixtures import grid_lines
+
+    n = 20
+    xs, ys = grid_lines(n)
+    lines = spark.createDataFrame(
+        [(i, [float(v) for v in x], [float(v) for v in y], "grid") for i, (x, y) in enumerate(zip(xs, ys))],
+        "line_id long, xs array<double>, ys array<double>, dataset string",
+    )
+    polys = chain_stitched_polygonize(
+        lines, tile_size=5.0, buffer=1.5, bbox=(0.0, 0.0, float(n), float(n)),
+        drop_collapsed=True, assembly="split",
+    )
+    return polys.agg(
+        F.count("*").alias("n_polys"), F.round(F.sum("area"), 6).alias("total_area")
+    )
 
 
 def _q_chain_stitched_nested(spark, sf_dir):
@@ -682,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_tiled_grid20": _q_tiled_grid,
         "g_stitched_nested_holes": _q_stitched_nested,
         "g_chain_stitched_nested_holes": _q_chain_stitched_nested,
+        "g_fused_assembly_grid20": _q_fused_assembly_grid,
         "ann_cosine_top5": _q_ann_cosine,
         "ann_lsh_top3": _q_ann_lsh,
         "ann_selfjoin_top2": _q_ann_selfjoin,
@@ -1058,6 +1084,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM (VALUES (6400.0, 1), (3200.0, 1), (400.0, 0)) AS t(area, n_holes)"
         ),
         "g_tiled_grid20": (
+            "SELECT CAST(400 AS BIGINT) AS n_polys, CAST(400.0 AS DOUBLE) AS total_area"
+        ),
+        "g_fused_assembly_grid20": (
             "SELECT CAST(400 AS BIGINT) AS n_polys, CAST(400.0 AS DOUBLE) AS total_area"
         ),
         # deterministic synthetic rasters: synth_images(400) on a 10×10

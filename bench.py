@@ -219,7 +219,7 @@ def main() -> None:
     timed(
         "stitched_polygonize_grid100",
         lambda: stitched_polygonize(
-            grid_df, tile_size=25.0, buffer=1.5, bbox=(0.0, 0.0, float(gn), float(gn)), drop_collapsed=True
+            grid_df, tile_size=25.0, buffer=1.5, bbox=(0.0, 0.0, float(gn), float(gn)), drop_collapsed=True, strategy="level"
         ).count(),
     )
 
@@ -248,6 +248,7 @@ def main() -> None:
             buffer=1.5,
             bbox=(0.0, 0.0, float(g4), float(g4)),
             drop_collapsed=True,
+            strategy="level",
         ).count(),
     )
 

@@ -762,6 +762,8 @@ def chain_stitched_polygonize(
     max_segments_per_tile: int | None = 200_000,
     max_split_factor: int = 16,
     target_segments_per_tile: int = 8000,
+    _segments: DataFrame | None = None,
+    _seg_stats: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Exact distributed polygonize via boundary-chain stitching (module
     docstring). Output semantics match ``stitched_polygonize`` /
@@ -773,7 +775,9 @@ def chain_stitched_polygonize(
     the pointer-doubling CC + partition-local walk."""
     from .stitch import _assemble_rings_local, assemble_rings_distributed
 
-    segments = segmentize_df(lines_df).persist()
+    segments = (
+        _segments if _segments is not None else segmentize_df(lines_df).persist()
+    )
     _to_unpersist = [segments]  # cache hygiene: dropped once consumed
     if bbox is None:
         bbox = _bbox_of_segments(segments)
@@ -782,9 +786,14 @@ def chain_stitched_polygonize(
     seg_len = F.sqrt(
         (F.col("x2") - F.col("x1")) ** 2 + (F.col("y2") - F.col("y1")) ** 2
     )
-    _st = segments.agg(F.max(seg_len).alias("l"), F.count("*").alias("n")).collect()[0]
-    l_max = _st["l"] or 0.0
-    n_segments = int(_st["n"])
+    if _seg_stats is not None:  # strategy-auto caller already paid this
+        l_max, n_segments = _seg_stats
+    else:
+        _st = segments.agg(
+            F.max(seg_len).alias("l"), F.count("*").alias("n")
+        ).collect()[0]
+        l_max = _st["l"] or 0.0
+        n_segments = int(_st["n"])
     if (l_max / tile_size) ** 2 >= 32.0:
         # long-segment regime (full-extent lattice lines): buffer_eff
         # balloons to l_max, so a segment replicates to

@@ -108,16 +108,22 @@ def stitched_polygonize(
     distributed_assembly_threshold: int = 200_000,
     max_segments_per_tile: int | None = 200_000,
     max_split_factor: int = 16,
-    strategy: str = "level",
+    strategy: str = "auto",
+    _segments: DataFrame | None = None,
 ) -> DataFrame:
     """Exact distributed polygonize with no maximum polygon size.
 
-    ``strategy``: "level" (this body — beacon-pruned level escalation;
-    the default, best on sparse linework) or "chain" (delegates to
-    ``chain_stitch.chain_stitched_polygonize`` — one trace pass +
-    boundary-chain merge; measured faster on dense lattice linework,
-    BENCH.md r4). Both produce identical output to the single-group
-    ``polygonize``.
+    ``strategy``: "auto" (default, r5 — picks between the two exact
+    engines on the cheap segment stats both need anyway: "level" when
+    max segment length forces the chain engine's pre-split round
+    ((l_max/tile)² ≥ 32, e.g. full-extent lattice lines — the A/B
+    winner there, BENCH.md r5), "chain" otherwise (short-segment dense
+    linework, where one trace pass beats level re-escalation — e.g.
+    the sparse 60k probe, chain 7.5 s vs level 9.7 s interleaved)),
+    "level" (this body — beacon-pruned level escalation), or "chain"
+    (``chain_stitch.chain_stitched_polygonize`` — one trace pass +
+    boundary-chain merge). All produce identical output to the
+    single-group ``polygonize``.
 
     Output matches the single-group ``polygonize`` exactly (same ring
     set, same assembly semantics), but every stage is distributed, and
@@ -131,6 +137,26 @@ def stitched_polygonize(
     call), "local" (always single-group), or "distributed" (always
     the DataFrame joins — the unbounded-scale path).
     """
+    _seg_stats = None
+    if strategy == "auto":
+        # one narrow aggregate over the segment set BOTH engines start
+        # from decides the engine; the frame and stats are handed to
+        # whichever wins, so auto costs no extra job on the chain path
+        # (it needs exactly these stats) and one cheap agg on level
+        segments = _segments if _segments is not None else segmentize_df(
+            lines_df
+        ).persist()
+        _segments = segments
+        seg_len = F.sqrt(
+            (F.col("x2") - F.col("x1")) ** 2 + (F.col("y2") - F.col("y1")) ** 2
+        )
+        _st = segments.agg(
+            F.max(seg_len).alias("l"), F.count("*").alias("n")
+        ).collect()[0]
+        _seg_stats = (float(_st["l"] or 0.0), int(_st["n"]))
+        strategy = (
+            "level" if (_seg_stats[0] / float(tile_size)) ** 2 >= 32.0 else "chain"
+        )
     if strategy == "chain":
         from .chain_stitch import chain_stitched_polygonize
 
@@ -145,10 +171,14 @@ def stitched_polygonize(
             distributed_assembly_threshold=distributed_assembly_threshold,
             max_segments_per_tile=max_segments_per_tile,
             max_split_factor=max_split_factor,
+            _segments=_segments,
+            _seg_stats=_seg_stats,
         )
     if strategy != "level":
-        raise ValueError(f"strategy must be level|chain, got {strategy!r}")
-    segments = segmentize_df(lines_df).persist()
+        raise ValueError(f"strategy must be auto|level|chain, got {strategy!r}")
+    segments = _segments if _segments is not None else segmentize_df(
+        lines_df
+    ).persist()
     if bbox is None:
         bbox = _bbox_of_segments(segments)
     x0, y0, x1g, y1g = (float(v) for v in bbox)

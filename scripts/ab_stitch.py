@@ -101,13 +101,13 @@ def main() -> None:
     add("grid100", "tiled", lambda: tiled_polygonize(
         g1, tile_size=25.0, buffer=1.5, bbox=bb1, drop_collapsed=True).count(), 10000)
     add("grid100", "level", lambda: stitched_polygonize(
-        g1, tile_size=25.0, buffer=1.5, bbox=bb1, drop_collapsed=True).count(), 10000)
+        g1, tile_size=25.0, buffer=1.5, bbox=bb1, drop_collapsed=True, strategy="level").count(), 10000)
     add("grid100", "chain_split", lambda: chain_stitched_polygonize(
         g1, tile_size=25.0, buffer=1.5, bbox=bb1, drop_collapsed=True).count(), 10000)
     add("grid400", "tiled", lambda: tiled_polygonize(
         g4, tile_size=50.0, buffer=1.5, bbox=bb4, drop_collapsed=True).count(), 160000)
     add("grid400", "level", lambda: stitched_polygonize(
-        g4, tile_size=50.0, buffer=1.5, bbox=bb4, drop_collapsed=True).count(), 160000)
+        g4, tile_size=50.0, buffer=1.5, bbox=bb4, drop_collapsed=True, strategy="level").count(), 160000)
     add("grid400", "chain_dist", lambda: chain_stitched_polygonize(
         g4, tile_size=50.0, buffer=1.5, bbox=bb4, drop_collapsed=True,
         assembly="distributed").count(), 160000)
@@ -116,14 +116,22 @@ def main() -> None:
     add("random200", "tiled", lambda: tiled_polygonize(
         r2, tile_size=50.0, buffer=10.0, bbox=bb1, drop_collapsed=True).count())
     add("random200", "level", lambda: stitched_polygonize(
-        r2, tile_size=50.0, buffer=10.0, bbox=bb1, drop_collapsed=True).count())
+        r2, tile_size=50.0, buffer=10.0, bbox=bb1, drop_collapsed=True, strategy="level").count())
     add("random200", "chain_split", lambda: chain_stitched_polygonize(
         r2, tile_size=50.0, buffer=10.0, bbox=bb1, drop_collapsed=True).count())
     add("sparse60k", "tiled", lambda: tiled_polygonize(
         sparse, tile_size=100.0, buffer=30.0, bbox=sparse_bb, drop_collapsed=True).count())
     add("sparse60k", "level", lambda: stitched_polygonize(
-        sparse, tile_size=100.0, buffer=30.0, bbox=sparse_bb, drop_collapsed=True).count())
+        sparse, tile_size=100.0, buffer=30.0, bbox=sparse_bb, drop_collapsed=True, strategy="level").count())
     add("sparse60k", "chain_split", lambda: chain_stitched_polygonize(
+        sparse, tile_size=100.0, buffer=30.0, bbox=sparse_bb, drop_collapsed=True).count())
+    add("grid100", "auto", lambda: stitched_polygonize(
+        g1, tile_size=25.0, buffer=1.5, bbox=bb1, drop_collapsed=True).count(), 10000)
+    add("grid400", "auto", lambda: stitched_polygonize(
+        g4, tile_size=50.0, buffer=1.5, bbox=bb4, drop_collapsed=True).count(), 160000)
+    add("random200", "auto", lambda: stitched_polygonize(
+        r2, tile_size=50.0, buffer=10.0, bbox=bb1, drop_collapsed=True).count())
+    add("sparse60k", "auto", lambda: stitched_polygonize(
         sparse, tile_size=100.0, buffer=30.0, bbox=sparse_bb, drop_collapsed=True).count())
     if grid800:
         g8 = lines_df(*grid_lines(800))
@@ -131,7 +139,7 @@ def main() -> None:
         add("grid800", "tiled", lambda: tiled_polygonize(
             g8, tile_size=100.0, buffer=1.5, bbox=bb8, drop_collapsed=True).count(), 640000)
         add("grid800", "level", lambda: stitched_polygonize(
-            g8, tile_size=100.0, buffer=1.5, bbox=bb8, drop_collapsed=True).count(), 640000)
+            g8, tile_size=100.0, buffer=1.5, bbox=bb8, drop_collapsed=True, strategy="level").count(), 640000)
         add("grid800", "chain_split", lambda: chain_stitched_polygonize(
             g8, tile_size=100.0, buffer=1.5, bbox=bb8, drop_collapsed=True).count(), 640000)
 

@@ -131,6 +131,7 @@ def main() -> None:
     st = stitched_polygonize(
         lines, tile_size=4.0, buffer=1.5, bbox=(0.0, 0.0, 12.0, 12.0),
         drop_collapsed=True, assembly="distributed", max_segments_per_tile=None,
+        strategy="level",  # this section checks the LEVEL plan shape
     )
     p = plan_of(st)
     n_levels = 3  # extent 12 / tile 4 → levels 4, 8, 16

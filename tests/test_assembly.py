@@ -124,6 +124,36 @@ class TestSplitEquivalence:
         assert keyset(got) == keyset(want)
 
 
+class TestAutoStrategy:
+    def test_auto_matches_global_both_regimes(self, spark):
+        """r5 (VERDICT r4 item 3): strategy='auto' keys on the presplit
+        trigger ((l_max/tile)² ≥ 32 → level, else chain) and stays
+        exact in both regimes."""
+        n = 24
+        xs, ys = grid_lines(n)
+        df = lines_to_df(spark, xs, ys)
+        bb = (0.0, 0.0, float(n), float(n))
+        want = keyset(polygonize(df, node_input=True, drop_collapsed=True).collect())
+        # tile 8 → (24/8)² = 9 < 32 → chain regime
+        a = stitched_polygonize(df, tile_size=8.0, bbox=bb, drop_collapsed=True)
+        assert keyset(a.collect()) == want
+        # tile 4 → (24/4)² = 36 ≥ 32 → level regime
+        b = stitched_polygonize(df, tile_size=4.0, bbox=bb, drop_collapsed=True)
+        assert keyset(b.collect()) == want
+
+    def test_explicit_strategies_still_accepted(self, spark):
+        xs, ys = grid_lines(8)
+        df = lines_to_df(spark, xs, ys)
+        bb = (0.0, 0.0, 8.0, 8.0)
+        for strat in ("level", "chain", "auto"):
+            got = stitched_polygonize(
+                df, tile_size=4.0, bbox=bb, drop_collapsed=True, strategy=strat
+            ).count()
+            assert got == 64
+        with pytest.raises(ValueError, match="strategy"):
+            stitched_polygonize(df, tile_size=4.0, bbox=bb, strategy="bogus").count()
+
+
 class TestSplitProtocol:
     """Direct probes of assemble_rings_split over synthetic ring rows —
     the ground truth is assemble_rings_distributed on the SAME rows."""
