@@ -330,9 +330,15 @@ def stitched_polygonize(
     rings = rings.persist()
     if assembly == "auto":
         # r5: large ring sets take the per-tile split assembly (one
-        # coords shuffle + narrow residue; operators/assembly.py)
+        # coords shuffle + narrow residue; operators/assembly.py).
+        # Crossover re-measured with split available: the one-task
+        # local assembly is serial-bound (grid-800: 14.7 s local vs
+        # 3.5 s split interleaved; grid-400: 3.4 vs 3.1) — 100k rings
+        # is the conservative switch point
         assembly = (
-            "local" if rings.count() <= distributed_assembly_threshold else "split"
+            "local"
+            if rings.count() <= min(distributed_assembly_threshold, 100_000)
+            else "split"
         )
     if assembly == "local":
         return _assemble_rings_local(rings, drop_collapsed=drop_collapsed)
