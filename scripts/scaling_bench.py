@@ -132,6 +132,19 @@ def run_level(cpus: int, n_records: int, grid: int, n_lines: int) -> dict:
     return json.loads(lines[-1])
 
 
+def host_probe() -> float:
+    """Same memory-bandwidth probe as bench.py (s/pass; ~0.33 healthy)."""
+    import time
+
+    import numpy as np
+
+    x = np.random.rand(50_000_000)
+    t0 = time.time()
+    for _ in range(3):
+        np.sqrt(x * 1.000001 + 3)
+    return round((time.time() - t0) / 3, 3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-records", type=int, default=64_000_000)
@@ -139,10 +152,25 @@ def main():
     ap.add_argument("--n-lines", type=int, default=120_000)
     ap.add_argument("--cpus", default="8,32")
     ap.add_argument("--write", action="store_true")
+    ap.add_argument(
+        "--probe-gate", type=float, default=None,
+        help="r5 (VERDICT r4 #4): exit(3) without measuring unless the "
+        "host bandwidth probe is under this value (e.g. 0.7) — lets a "
+        "watcher loop fire the run only inside a healthy window",
+    )
     args = ap.parse_args()
     levels = [int(c) for c in args.cpus.split(",")]
 
-    results = [run_level(c, args.n_records, args.grid, args.n_lines) for c in levels]
+    p0 = host_probe()
+    if args.probe_gate is not None and p0 > args.probe_gate:
+        print(json.dumps({"skipped": True, "probe": p0, "gate": args.probe_gate}))
+        sys.exit(3)
+
+    results = []
+    probes = [p0]
+    for c in levels:
+        results.append(run_level(c, args.n_records, args.grid, args.n_lines))
+        probes.append(host_probe())  # stamp host state around each level
     lo, hi = results[0], results[-1]
     ideal = hi["cpus"] / lo["cpus"]
     stream_speedup = hi["records_per_sec"] / lo["records_per_sec"]
@@ -157,6 +185,7 @@ def main():
         "cover_speedup": round(cover_speedup, 3),
         "cover_efficiency": round(cover_eff, 3),
         "ideal": ideal,
+        "host_probes": probes,
     }
     print(json.dumps(summary, indent=2))
 
