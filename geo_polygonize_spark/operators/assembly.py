@@ -737,6 +737,98 @@ def _core_key(ti, tj, fv, si, sj, rows):
     return (((ti * rows + tj) * 17 + fv) * 16 + si) * 16 + sj
 
 
+def _best_reduce(si, hj, areas, rids):
+    """One (area, rid)-lexicographic min candidate per hole."""
+    o = np.lexsort((rids, areas, hj))
+    first = np.concatenate(([True], hj[o][1:] != hj[o][:-1]))
+    return o[first]
+
+
+def _core_local_assembly(
+    area, rid, cx, cy, bx1, by1, bx2, by2, coords_x, coords_y, idx, ray_cast_rows
+):
+    """Single-claim-core member assembly WITHOUT merged-shell knowledge
+    (shared by the phase-2 fused kernel and the in-trace assembly):
+    exact-bbox twin promotion (polygonizer.rs:152-185) and hole→parent
+    local-candidate search (strictly-larger min-(area, rid) rule,
+    polygonizer.rs:226) over the rings at positions ``idx``.
+
+    Returns ``(sh, s_area, ho, h_area, hx, hy, best_area, best_rid,
+    best_local)``: shells (promoted CW included), every CW ring as an
+    assignment candidate, and per-hole best LOCAL candidate (inf/-1
+    when no local shell strictly contains it)."""
+    garea = area[idx]
+    ccw = garea > 0.0
+    cw = garea < 0.0
+    by_bbox: dict = {}
+    for p in idx[ccw].tolist():
+        by_bbox.setdefault((bx1[p], by1[p], bx2[p], by2[p]), []).append(area[p])
+    promoted = np.zeros(idx.size, dtype=bool)
+    cw_pos = np.flatnonzero(cw)
+    for pos in cw_pos.tolist():
+        p = idx[pos]
+        twins = by_bbox.get((bx1[p], by1[p], bx2[p], by2[p]), ())
+        if not any(abs(s + area[p]) < 1e-6 for s in twins):
+            promoted[pos] = True
+    sh = idx[ccw | (cw & promoted)]  # shells (promoted CW incl.)
+    s_area = np.abs(area[sh])
+    ho = idx[cw]  # every CW ring is an assignment candidate
+    nh = ho.size
+    h_area = np.abs(area[ho])
+    hx = cx[ho]
+    hy = cy[ho]
+
+    best_area = np.full(nh, np.inf)
+    best_rid = np.full(nh, np.iinfo(np.int64).max, dtype=np.int64)
+    best_local = np.full(nh, -1, dtype=np.int64)  # pos into sh
+
+    si, hj = _pip_candidates(
+        sh, hx, hy, h_area, area, bx1, by1, bx2, by2, coords_x, coords_y,
+        ray_cast_rows,
+    )
+    if si.size:
+        srid = rid[sh[si]]
+        sel = _best_reduce(si, hj, s_area[si], srid)
+        rows_ = hj[sel]
+        best_area[rows_] = s_area[si[sel]]
+        best_rid[rows_] = srid[sel]
+        best_local[rows_] = si[sel]
+    return sh, s_area, ho, h_area, hx, hy, best_area, best_rid, best_local
+
+
+def _pip_candidates(
+    sh, hx, hy, h_area, area, bx1, by1, bx2, by2, coords_x, coords_y, ray_cast_rows
+):
+    """(si, hj) PIP-confirmed candidate pairs: hole centroids vs the
+    shells ``sh`` (strictly-larger area rule, polygonizer.rs:226)."""
+    if sh.size == 0 or hx.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    si, hj = bbox_join(bx1[sh], by1[sh], bx2[sh], by2[sh], hx, hy, hx, hy)
+    keep = np.abs(area[sh])[si] > h_area[hj] + 1e-6
+    si, hj = si[keep], hj[keep]
+    if si.size == 0:
+        return si, hj
+    inside = np.zeros(si.size, dtype=bool)
+    uq, ucount = np.unique(si, return_counts=True)
+    heavy = np.zeros(si.size, dtype=bool)
+    for u in uq[(ucount * np.fromiter(
+        (coords_x[sh[u]].size for u in uq.tolist()),
+        np.int64, uq.size,
+    )) > 4_000_000].tolist():
+        rws = np.flatnonzero(si == u)
+        heavy[rws] = True
+        inside[rws] = _pip_many_vs_ring(
+            hx[hj[rws]], hy[hj[rws]], coords_x[sh[u]], coords_y[sh[u]]
+        )
+    light = np.flatnonzero(~heavy)
+    if light.size:
+        inside[light] = ray_cast_rows(
+            hx[hj[light]], hy[hj[light]],
+            [(coords_x[sh[u]], coords_y[sh[u]]) for u in si[light].tolist()],
+        )
+    return si[inside], hj[inside]
+
+
 def _make_fused_partition_kernel(x0, y0, ts, cols, rows, fmap, gbc, vbc):
     """Per-PARTITION assembly kernel (mapInPandas): regroups the cached
     trace output by claim core (derived from bbox corners — header
@@ -806,81 +898,15 @@ def _make_fused_partition_kernel(x0, y0, ts, cols, rows, fmap, gbc, vbc):
             for fld in SPLIT_SCHEMA.fields[1:]:
                 out[fld.name].append(kw.get(fld.name))
 
-        def best_reduce(si, hj, areas, rids):
-            """One (area, rid)-lexicographic min candidate per hole."""
-            o = np.lexsort((rids, areas, hj))
-            first = np.concatenate(([True], hj[o][1:] != hj[o][:-1]))
-            return o[first]
-
-        def local_candidates(sh, hx, hy, h_area):
-            """(si, hj) PIP-confirmed candidate pairs: hole centroids
-            vs this core's shells (polygonizer.rs:226 area rule)."""
-            if sh.size == 0 or hx.size == 0:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
-            si, hj = bbox_join(
-                bx1[sh], by1[sh], bx2[sh], by2[sh], hx, hy, hx, hy
-            )
-            keep = np.abs(area[sh])[si] > h_area[hj] + 1e-6
-            si, hj = si[keep], hj[keep]
-            if si.size == 0:
-                return si, hj
-            inside = np.zeros(si.size, dtype=bool)
-            uq, ucount = np.unique(si, return_counts=True)
-            heavy = np.zeros(si.size, dtype=bool)
-            for u in uq[(ucount * np.fromiter(
-                (coords_x[sh[u]].size for u in uq.tolist()),
-                np.int64, uq.size,
-            )) > 4_000_000].tolist():
-                rws = np.flatnonzero(si == u)
-                heavy[rws] = True
-                inside[rws] = _pip_many_vs_ring(
-                    hx[hj[rws]], hy[hj[rws]], coords_x[sh[u]], coords_y[sh[u]]
-                )
-            light = np.flatnonzero(~heavy)
-            if light.size:
-                inside[light] = _ray_cast_rows(
-                    hx[hj[light]], hy[hj[light]],
-                    [(coords_x[sh[u]], coords_y[sh[u]]) for u in si[light].tolist()],
-                )
-            return si[inside], hj[inside]
-
         for a, b in zip(bounds[:-1], bounds[1:]):
             idx = order[a:b]
-            garea = area[idx]
-            ccw = garea > 0.0
-            cw = garea < 0.0
-            by_bbox: dict = {}
-            for p in idx[ccw].tolist():
-                by_bbox.setdefault(
-                    (bx1[p], by1[p], bx2[p], by2[p]), []
-                ).append(area[p])
-            promoted = np.zeros(idx.size, dtype=bool)
-            cw_pos = np.flatnonzero(cw)
-            for pos in cw_pos.tolist():
-                p = idx[pos]
-                twins = by_bbox.get((bx1[p], by1[p], bx2[p], by2[p]), ())
-                if not any(abs(s + area[p]) < 1e-6 for s in twins):
-                    promoted[pos] = True
-            sh = idx[ccw | (cw & promoted)]  # shells (promoted CW incl.)
-            s_area = np.abs(area[sh])
-            ho = idx[cw]  # every CW ring is an assignment candidate
+            (
+                sh, s_area, ho, h_area, hx, hy, best_area, best_rid, best_local
+            ) = _core_local_assembly(
+                area, rid, cx, cy, bx1, by1, bx2, by2,
+                coords_x, coords_y, idx, _ray_cast_rows,
+            )
             nh = ho.size
-            h_area = np.abs(area[ho])
-            hx = cx[ho]
-            hy = cy[ho]
-
-            best_area = np.full(nh, np.inf)
-            best_rid = np.full(nh, np.iinfo(np.int64).max, dtype=np.int64)
-            best_local = np.full(nh, -1, dtype=np.int64)  # pos into sh
-
-            si, hj = local_candidates(sh, hx, hy, h_area)
-            if si.size:
-                srid = rid[sh[si]]
-                sel = best_reduce(si, hj, s_area[si], srid)
-                rows_ = hj[sel]
-                best_area[rows_] = s_area[si[sel]]
-                best_rid[rows_] = srid[sel]
-                best_local[rows_] = si[sel]
             if nh and g["n"]:
                 # per-core pre-index: only merged shells whose bbox can
                 # reach this core are tested (the padded driver index),
@@ -937,10 +963,13 @@ def _make_fused_partition_kernel(x0, y0, ts, cols, rows, fmap, gbc, vbc):
                 vhx = np.fromiter((visitors[v][2] for v in vids), np.float64, len(vids))
                 vhy = np.fromiter((visitors[v][3] for v in vids), np.float64, len(vids))
                 vha = np.fromiter((visitors[v][1] for v in vids), np.float64, len(vids))
-                vsi, vhj = local_candidates(sh, vhx, vhy, vha)
+                vsi, vhj = _pip_candidates(
+                    sh, vhx, vhy, vha, area, bx1, by1, bx2, by2,
+                    coords_x, coords_y, _ray_cast_rows,
+                )
                 if vsi.size:
                     vsrid = rid[sh[vsi]]
-                    sel = best_reduce(vsi, vhj, s_area[vsi], vsrid)
+                    sel = _best_reduce(vsi, vhj, s_area[vsi], vsrid)
                     for s in sel.tolist():
                         emit(
                             K_PARTIAL,

@@ -101,6 +101,20 @@ CHAIN_SCHEMA = T.StructType(
 )
 
 
+def _prof(label: str, t0: float) -> float:
+    """Env-gated phase timer (SPARK_GRAFT_PROFILE=1): prints the wall
+    between driver-side phase boundaries — each phase ends at a Spark
+    action, so the print attributes real cluster work, not lazy plan
+    building. Zero cost when unset."""
+    import os
+    import time
+
+    t1 = time.time()
+    if os.environ.get("SPARK_GRAFT_PROFILE"):
+        print(f"CHAINPROF {label}: {t1 - t0:.3f}s", flush=True)
+    return t1
+
+
 def _mix64(h: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer, vectorized (uint64 wrap-around)."""
     h ^= h >> 30
@@ -775,6 +789,9 @@ def chain_stitched_polygonize(
     the pointer-doubling CC + partition-local walk."""
     from .stitch import _assemble_rings_local, assemble_rings_distributed
 
+    import time as _time
+
+    _t = _time.time()
     segments = (
         _segments if _segments is not None else segmentize_df(lines_df).persist()
     )
@@ -794,6 +811,7 @@ def chain_stitched_polygonize(
         ).collect()[0]
         l_max = _st["l"] or 0.0
         n_segments = int(_st["n"])
+    _t = _prof("segmentize+stats", _t)
     if (l_max / tile_size) ** 2 >= 32.0:
         # long-segment regime (full-extent lattice lines): buffer_eff
         # balloons to l_max, so a segment replicates to
@@ -816,6 +834,7 @@ def chain_stitched_polygonize(
         # the stats job above materialized the split set; the raw
         # segment cache is no longer read by anything downstream
         _to_unpersist.pop(0).unpersist()
+        _t = _prof("presplit+stats", _t)
     buffer_eff = max(float(buffer), float(l_max) * (1 + 1e-9) + 4 * snap_grid)
 
     # Unlike tiled_polygonize (where tile_size defines output
@@ -930,6 +949,7 @@ def chain_stitched_polygonize(
     # the two separate full-cache count jobs of the first version.
     kc = {int(r["kind"]): int(r["n"]) for r in
           out.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    _t = _prof("trace+counts", _t)
     n_chains = kc.get(1, 0)
     n_rings_upper = kc.get(0, 0) + n_chains
     # the counts job materialized the kernel output cache — the segment
@@ -942,6 +962,7 @@ def chain_stitched_polygonize(
         merged = _merge_chain_cycles_local(chains)
     else:
         merged = _merge_chain_cycles_distributed(chains)
+    _t = _prof("merge_build", _t)
 
     if assembly not in ("auto", "local", "distributed", "split"):
         raise ValueError(
