@@ -1005,6 +1005,534 @@ def _make_fused_partition_kernel(x0, y0, ts, cols, rows, fmap, gbc, vbc):
     return kernel
 
 
+_RESOLVE_SCHEMA = (
+    "kind int, h_rid long, loser_rid long, win_rid long, "
+    "win_area double, h_area double"
+)
+
+
+def _make_merged_resolve_kernel(gbc):
+    """mapInPandas kernel over NARROW hole rows (CHAIN_FUSED_SCHEMA
+    kinds 2/3): finds each hole's best merged-shell parent via the
+    broadcast per-core reach index (strictly-larger min-(area, rid)
+    rule) and emits a row ONLY when a merged shell adopts an
+    unparented hole (kind 2) or beats the recorded local candidate
+    (kind 3 — a steal)."""
+
+    def kernel(batches):
+        g = gbc.value
+        by_core = g.get("by_core") or {}
+        always = list(g.get("always", ()))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kind = pdf["kind"].to_numpy()
+            h_rid = pdf["rid"].to_numpy()
+            core = pdf["core"].to_numpy()
+            h_area = pdf["area"].to_numpy()
+            hx = pdf["cx"].to_numpy()
+            hy = pdf["cy"].to_numpy()
+            cand_rid = pdf["cand_rid"].to_numpy(dtype=object)
+            cand_area = pdf["cand_area"].to_numpy(dtype=object)
+            n = len(pdf)
+            best_area = np.full(n, np.inf)
+            best_rid = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            order = np.argsort(core, kind="stable")
+            cs = core[order]
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(cs[1:] != cs[:-1]) + 1, [n])
+            )
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                rows_ = order[a:b]
+                glist = always + list(by_core.get(int(cs[a]), ()))
+                for gi in glist:
+                    ga = g["area"][gi]
+                    m = rows_[
+                        (hx[rows_] >= g["bx1"][gi]) & (hx[rows_] <= g["bx2"][gi])
+                        & (hy[rows_] >= g["by1"][gi]) & (hy[rows_] <= g["by2"][gi])
+                        & (ga > h_area[rows_] + 1e-6)
+                    ]
+                    if m.size == 0:
+                        continue
+                    ins = _pip_many_vs_ring(hx[m], hy[m], g["xs"][gi], g["ys"][gi])
+                    m = m[ins]
+                    take = (ga < best_area[m]) | (
+                        (ga == best_area[m]) & (g["rid"][gi] < best_rid[m])
+                    )
+                    rows2 = m[take]
+                    best_area[rows2] = ga
+                    best_rid[rows2] = g["rid"][gi]
+            out = {k: [] for k in (
+                "kind", "h_rid", "loser_rid", "win_rid", "win_area", "h_area"
+            )}
+            for p in np.flatnonzero(np.isfinite(best_area)).tolist():
+                if kind[p] == 3:
+                    ca = float(cand_area[p])
+                    cr = int(cand_rid[p])
+                    if not (
+                        best_area[p] < ca
+                        or (best_area[p] == ca and int(best_rid[p]) < cr)
+                    ):
+                        continue  # local attachment stands
+                    out["loser_rid"].append(cr)
+                else:
+                    out["loser_rid"].append(None)
+                out["kind"].append(int(kind[p]))
+                out["h_rid"].append(int(h_rid[p]))
+                out["win_rid"].append(int(best_rid[p]))
+                out["win_area"].append(float(best_area[p]))
+                out["h_area"].append(float(h_area[p]))
+            yield pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in out.items()})
+
+    return kernel
+
+
+def _vis_pip_kernel(batches):
+    """PIP-confirm visitor-hole centroids against local-shell rows
+    (bbox+area prefiltered in the plan)."""
+    from .spatial_join import _ray_cast_rows
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        inside = _ray_cast_rows(
+            pdf["vcx"].to_numpy(), pdf["vcy"].to_numpy(),
+            [
+                (np.asarray(x, np.float64), np.asarray(y, np.float64))
+                for x, y in zip(pdf["xs"], pdf["ys"])
+            ],
+        )
+        yield pdf.loc[inside, ["h_rid", "cand_rid", "cand_area"]]
+
+
+def assemble_rings_fused_trace(
+    trace_out: DataFrame,
+    merged: DataFrame | None,
+    x0: float,
+    y0: float,
+    tile_size: float,
+    cols: int,
+    rows: int,
+    fmap: dict,
+    drop_collapsed: bool = False,
+    global_rows_gate: int = 100_000,
+    global_coords_gate: int = 10_000_000,
+    release=None,
+) -> DataFrame | None:
+    """Finish for the IN-TRACE assembled chain output
+    (CHAIN_FUSED_SCHEMA): polygons were assembled inside the trace
+    kernel, so everything after the trace moves NARROW rows — merged
+    residue meta/coords (driver+broadcast), per-hole revision records,
+    and rare patch rows — plus ONE executor-local checkpoint of the
+    final polygons (JVM-side; ring coordinates never re-cross Python).
+
+    Revision semantics vs the phase-2 fused kernel are identical:
+    a chain-closed (merged) shell adopts unparented holes and steals a
+    locally-attached hole exactly when it wins the strictly-larger
+    min-(area, rid) rule. Returns None when the merged residue trips
+    the collection gates — the caller falls back to the lossless
+    distributed assembly."""
+    spark = trace_out.sparkSession
+    polys = trace_out.where(F.col("kind") == 0)
+
+    grows: list = []
+    if merged is not None:
+        merged_rid = (
+            merged.where(F.abs("area") >= 1e-9)
+            .withColumn("rid", F.xxhash64("xs", "ys"))
+            .select(*_RING_COLS)
+        )
+        grows = [
+            r.asDict() for r in merged_rid.limit(global_rows_gate + 1).collect()
+        ]
+        if (
+            len(grows) > global_rows_gate
+            or sum(len(r["xs"]) for r in grows) > global_coords_gate
+        ):
+            return None
+    gshells, gvisitors = _promote_rows(grows)
+    ng = len(gshells)
+
+    final_cols = [
+        F.lit(-2).cast("int").alias("tile_i"),
+        F.lit(-2).cast("int").alias("tile_j"),
+        F.col("rid").alias("poly_id"),
+        F.col("xs").alias("shell_xs"), F.col("ys").alias("shell_ys"),
+        "hole_xs", "hole_ys", "n_holes",
+        F.col("net_area").alias("area"), "cx", "cy",
+    ]
+
+    if ng == 0 and not gvisitors:
+        # no merged residue: the tentative assembly IS the answer
+        out_polys = polys
+        if drop_collapsed:
+            out_polys = out_polys.where(F.col("net_area") > 1e-6)
+        final = out_polys.select(*final_cols).localCheckpoint(eager=True)
+        if release is not None:
+            release()
+        return final
+
+    # ---- driver meta + per-core reach index for merged shells -------
+    g_rid = np.fromiter((r["rid"] for r, _ in gshells), np.int64, ng)
+    g_area = np.fromiter((abs(r["area"]) for r, _ in gshells), np.float64, ng)
+    g_bx1 = np.fromiter((r["bx1"] for r, _ in gshells), np.float64, ng)
+    g_by1 = np.fromiter((r["by1"] for r, _ in gshells), np.float64, ng)
+    g_bx2 = np.fromiter((r["bx2"] for r, _ in gshells), np.float64, ng)
+    g_by2 = np.fromiter((r["by2"] for r, _ in gshells), np.float64, ng)
+    g_xs = [np.asarray(r["xs"], np.float64) for r, _ in gshells]
+    g_ys = [np.asarray(r["ys"], np.float64) for r, _ in gshells]
+    ts = float(tile_size)
+    by_core: dict = {}
+    g_always: list = []
+    if ng:
+        i_lo = np.clip(np.floor((g_bx1 - x0) / ts).astype(np.int64) - 1, 0, cols - 1)
+        i_hi = np.clip(np.floor((g_bx2 - x0) / ts).astype(np.int64) + 1, 0, cols - 1)
+        j_lo = np.clip(np.floor((g_by1 - y0) / ts).astype(np.int64) - 1, 0, rows - 1)
+        j_hi = np.clip(np.floor((g_by2 - y0) / ts).astype(np.int64) + 1, 0, rows - 1)
+        for gi in range(ng):
+            span = (int(i_hi[gi]) - int(i_lo[gi]) + 1) * (
+                int(j_hi[gi]) - int(j_lo[gi]) + 1
+            )
+            if span > 4096:
+                g_always.append(gi)
+                continue
+            for a in range(int(i_lo[gi]), int(i_hi[gi]) + 1):
+                for b in range(int(j_lo[gi]), int(j_hi[gi]) + 1):
+                    fv = fmap.get((a, b), 1)
+                    if fv == 1:
+                        by_core.setdefault(_core_key(a, b, 1, 0, 0, rows), []).append(gi)
+                    else:
+                        for p in range(fv):
+                            for q in range(fv):
+                                by_core.setdefault(
+                                    _core_key(a, b, fv, p, q, rows), []
+                                ).append(gi)
+    payload = {
+        "n": ng, "rid": g_rid, "area": g_area,
+        "bx1": g_bx1, "by1": g_by1, "bx2": g_bx2, "by2": g_by2,
+        "xs": g_xs, "ys": g_ys, "by_core": by_core, "always": g_always,
+    }
+    gbc = spark.sparkContext.broadcast(payload)
+
+    # ---- narrow merged-parent resolution (adopts + steals) ----------
+    adopts: list = []  # (h_rid, win_rid, h_area)
+    steals: list = []  # (h_rid, loser_rid, win_rid, h_area)
+    if ng:
+        narrow = trace_out.where(F.col("kind").isin(2, 3)).select(
+            "kind", "rid", "core", "area", "cx", "cy", "cand_rid", "cand_area"
+        )
+        for r in narrow.mapInPandas(
+            _make_merged_resolve_kernel(gbc), _RESOLVE_SCHEMA
+        ).collect():
+            if int(r["kind"]) == 2:
+                adopts.append((int(r["h_rid"]), int(r["win_rid"]), float(r["h_area"])))
+            else:
+                steals.append(
+                    (int(r["h_rid"]), int(r["loser_rid"]), int(r["win_rid"]),
+                     float(r["h_area"]))
+                )
+
+    # ---- visitors (merged CW holes): local shells ∪ merged shells ---
+    # driver part — merged-vs-merged candidates (min per visitor)
+    vis_best: dict = {}  # h_rid -> (area, rid)
+    vis_meta: dict = {}  # h_rid -> (h_area, cx, cy, xs, ys)
+    if gvisitors:
+        for r in gvisitors:
+            vis_meta[int(r["rid"])] = (
+                abs(r["area"]), float(r["cx"]), float(r["cy"]), r["xs"], r["ys"]
+            )
+        if ng:
+            nv = len(gvisitors)
+            v_cx = np.fromiter((r["cx"] for r in gvisitors), np.float64, nv)
+            v_cy = np.fromiter((r["cy"] for r in gvisitors), np.float64, nv)
+            v_ha = np.fromiter((abs(r["area"]) for r in gvisitors), np.float64, nv)
+            v_rid = np.fromiter((r["rid"] for r in gvisitors), np.int64, nv)
+            si, hj = bbox_join(g_bx1, g_by1, g_bx2, g_by2, v_cx, v_cy, v_cx, v_cy)
+            keep = g_area[si] > v_ha[hj] + 1e-6
+            si, hj = si[keep], hj[keep]
+            if si.size:
+                inside = np.zeros(si.size, dtype=bool)
+                for u in np.unique(si).tolist():
+                    rws = np.flatnonzero(si == u)
+                    inside[rws] = _pip_many_vs_ring(
+                        v_cx[hj[rws]], v_cy[hj[rws]], g_xs[u], g_ys[u]
+                    )
+                si, hj = si[inside], hj[inside]
+            for s, h in zip(si.tolist(), hj.tolist()):
+                key = int(v_rid[h])
+                cand = (float(g_area[s]), int(g_rid[s]))
+                if key not in vis_best or cand < vis_best[key]:
+                    vis_best[key] = cand
+        # plan part — local-shell candidates in the visitor's touching
+        # cores only (a core-contained shell lies inside its core box,
+        # so any local parent's core closure contains the centroid)
+        vrows = []
+        for r in gvisitors:
+            touch = _touching_cores(r["cx"], r["cy"], x0, y0, ts, cols, rows, fmap)
+            for a, b, fv, p, q in touch:
+                vrows.append(
+                    (int(r["rid"]), float(abs(r["area"])),
+                     float(r["cx"]), float(r["cy"]),
+                     int(_core_key(a, b, fv, p, q, rows)))
+                )
+        if vrows:
+            vdf = spark.createDataFrame(
+                vrows, "h_rid long, h_area double, vcx double, vcy double, core long"
+            )
+            cand = (
+                polys.join(F.broadcast(vdf), "core")
+                .where(
+                    (F.col("vcx") >= F.col("bx1")) & (F.col("vcx") <= F.col("bx2"))
+                    & (F.col("vcy") >= F.col("by1")) & (F.col("vcy") <= F.col("by2"))
+                    & (F.abs("area") > F.col("h_area") + F.lit(1e-6))
+                )
+                .select(
+                    "h_rid", "vcx", "vcy", "xs", "ys",
+                    F.col("rid").alias("cand_rid"),
+                    F.abs("area").alias("cand_area"),
+                )
+            )
+            for r in cand.mapInPandas(
+                _vis_pip_kernel, "h_rid long, cand_rid long, cand_area double"
+            ).collect():
+                key = int(r["h_rid"])
+                c = (float(r["cand_area"]), int(r["cand_rid"]))
+                if key not in vis_best or c < vis_best[key]:
+                    vis_best[key] = c
+
+    # ---- per-merged-shell nets + hole-coord routing -----------------
+    g_rid_set = set(g_rid.tolist())
+    gagg: dict = {}  # g_rid -> [h_sum, h_n]
+
+    def _g_add(gr, ha):
+        e = gagg.setdefault(gr, [0.0, 0])
+        e[0] += ha
+        e[1] += 1
+
+    for h, w, ha in adopts:
+        _g_add(w, ha)
+    for h, loser, w, ha in steals:
+        _g_add(w, ha)
+    vis_local_patch: dict = {}  # local cand_rid -> [(xs, ys, h_area)]
+    vis_merged: list = []  # (h_rid, win_rid) — coords from vis_meta
+    for h_ridv, (warea, wrid) in vis_best.items():
+        ha, vcx_, vcy_, vxs, vys = vis_meta[h_ridv]
+        if wrid in g_rid_set:
+            _g_add(wrid, ha)
+            vis_merged.append((h_ridv, wrid))
+        else:
+            vis_local_patch.setdefault(wrid, []).append((vxs, vys, ha))
+
+    # ---- patches on local polygons ----------------------------------
+    out_polys = polys
+    if steals:
+        agg: dict = {}
+        for h, loser, w, ha in steals:
+            e = agg.setdefault(loser, [[], 0.0])
+            e[0].append(h)
+            e[1] += ha
+        sp = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in agg.items()],
+            "rid long, stolen_rids array<long>, stolen_sum double",
+        )
+        # stage the filtered zip in a temp column FIRST — the per-field
+        # withColumns below must all read the same pre-patch arrays
+        zipped = F.arrays_zip("hole_rids", "hole_xs", "hole_ys")
+        kept = F.filter(
+            zipped,
+            lambda z: ~F.coalesce(
+                F.array_contains("stolen_rids", z["hole_rids"]), F.lit(False)
+            ),
+        )
+        out_polys = (
+            out_polys.join(F.broadcast(sp), "rid", "left")
+            .withColumn("_kept", kept)
+            .withColumn(
+                "hole_xs",
+                F.when(F.col("stolen_rids").isNotNull(),
+                       F.transform("_kept", lambda z: z["hole_xs"]))
+                .otherwise(F.col("hole_xs")),
+            )
+            .withColumn(
+                "hole_ys",
+                F.when(F.col("stolen_rids").isNotNull(),
+                       F.transform("_kept", lambda z: z["hole_ys"]))
+                .otherwise(F.col("hole_ys")),
+            )
+            .withColumn(
+                "hole_rids",
+                F.when(F.col("stolen_rids").isNotNull(),
+                       F.transform("_kept", lambda z: z["hole_rids"]))
+                .otherwise(F.col("hole_rids")),
+            )
+            .withColumn(
+                "n_holes",
+                F.when(F.col("stolen_rids").isNotNull(),
+                       F.size("_kept")).otherwise(F.col("n_holes")).cast("int"),
+            )
+            .withColumn(
+                "net_area",
+                F.col("net_area") + F.coalesce("stolen_sum", F.lit(0.0)),
+            )
+            .drop("stolen_rids", "stolen_sum", "_kept")
+        )
+    if vis_local_patch:
+        prows = []
+        for crid, lst in vis_local_patch.items():
+            prows.append(
+                (crid, [list(x) for x, _, _ in lst], [list(y) for _, y, _ in lst],
+                 float(sum(a for _, _, a in lst)), len(lst))
+            )
+        ppdf = pd.DataFrame(
+            {
+                "rid": pd.Series([r[0] for r in prows], dtype="int64"),
+                "p_xs": pd.Series([r[1] for r in prows], dtype=object),
+                "p_ys": pd.Series([r[2] for r in prows], dtype=object),
+                "p_sum": pd.Series([r[3] for r in prows], dtype="float64"),
+                "p_n": pd.Series([r[4] for r in prows], dtype="int32"),
+            }
+        )
+        patch = spark.createDataFrame(
+            ppdf,
+            "rid long, p_xs array<array<double>>, p_ys array<array<double>>, "
+            "p_sum double, p_n int",
+        )
+        out_polys = (
+            out_polys.join(F.broadcast(patch), "rid", "left")
+            .withColumn(
+                "hole_xs",
+                F.when(F.col("p_xs").isNotNull(),
+                       F.concat("hole_xs", "p_xs")).otherwise(F.col("hole_xs")),
+            )
+            .withColumn(
+                "hole_ys",
+                F.when(F.col("p_ys").isNotNull(),
+                       F.concat("hole_ys", "p_ys")).otherwise(F.col("hole_ys")),
+            )
+            .withColumn(
+                "net_area", F.col("net_area") - F.coalesce("p_sum", F.lit(0.0))
+            )
+            .withColumn(
+                "n_holes",
+                (F.col("n_holes") + F.coalesce("p_n", F.lit(0))).cast("int"),
+            )
+            .drop("p_xs", "p_ys", "p_sum", "p_n")
+        )
+
+    # ---- merged polygons (driver gbase + routed hole coords) --------
+    surviving = []
+    for r, prom in gshells:
+        hsum, hn = gagg.get(int(r["rid"]), (0.0, 0))
+        net = abs(r["area"]) - hsum
+        if drop_collapsed and net <= 1e-6:  # polygonizer.rs:255-258
+            continue
+        surviving.append((r, prom, net, hn))
+    gpolys = None
+    if surviving:
+        gpdf = pd.DataFrame(
+            {
+                "rid": pd.Series([int(r["rid"]) for r, _, _, _ in surviving], dtype="int64"),
+                "xs": pd.Series(
+                    [list(r["xs"])[::-1] if prom else list(r["xs"])
+                     for r, prom, _, _ in surviving], dtype=object),
+                "ys": pd.Series(
+                    [list(r["ys"])[::-1] if prom else list(r["ys"])
+                     for r, prom, _, _ in surviving], dtype=object),
+                "net_area": pd.Series([net for _, _, net, _ in surviving], dtype="float64"),
+                "n_holes": pd.Series([hn for _, _, _, hn in surviving], dtype="int32"),
+                "cx": pd.Series([float(r["cx"]) for r, _, _, _ in surviving], dtype="float64"),
+                "cy": pd.Series([float(r["cy"]) for r, _, _, _ in surviving], dtype="float64"),
+            }
+        )
+        gbase = spark.createDataFrame(
+            gpdf,
+            "rid long, xs array<double>, ys array<double>, "
+            "net_area double, n_holes int, cx double, cy double",
+        )
+        need_holes = {int(r["rid"]) for r, _, _, hn in surviving if hn > 0}
+        if need_holes:
+            # route hole coords: adopted (kind-2 cache rows), stolen
+            # (extracted from the loser polygon rows), visitor-merged
+            # (driver meta) — all narrow/rare
+            routes = [(h, w) for h, w, _ in adopts] + [
+                (h, w) for h, _, w, _ in steals
+            ] + vis_merged
+            routes = [(h, w) for h, w in routes if w in need_holes]
+            rdf = spark.createDataFrame(routes, "h_rid long, win_rid long")
+            srcs = []
+            adopt_ids = {h for h, w, _ in adopts}
+            if adopt_ids:
+                srcs.append(
+                    trace_out.where(
+                        (F.col("kind") == 2)
+                        & F.col("rid").isin([int(v) for v in adopt_ids])
+                    ).select(F.col("rid").alias("h_rid"), "xs", "ys")
+                )
+            if steals:
+                loser_ids = [loser for _, loser, _, _ in steals]
+                stolen_ids = {h for h, _, _, _ in steals}
+                zipped = F.arrays_zip("hole_rids", "hole_xs", "hole_ys")
+                srcs.append(
+                    polys.where(F.col("rid").isin([int(v) for v in loser_ids]))
+                    .select(F.explode(zipped).alias("z"))
+                    .select(
+                        F.col("z.hole_rids").alias("h_rid"),
+                        F.col("z.hole_xs").alias("xs"),
+                        F.col("z.hole_ys").alias("ys"),
+                    )
+                    .where(F.col("h_rid").isin([int(v) for v in stolen_ids]))
+                )
+            if vis_merged:
+                vm = pd.DataFrame(
+                    {
+                        "h_rid": pd.Series([h for h, _ in vis_merged], dtype="int64"),
+                        "xs": pd.Series(
+                            [list(vis_meta[h][3]) for h, _ in vis_merged], dtype=object),
+                        "ys": pd.Series(
+                            [list(vis_meta[h][4]) for h, _ in vis_merged], dtype=object),
+                    }
+                )
+                srcs.append(
+                    spark.createDataFrame(
+                        vm, "h_rid long, xs array<double>, ys array<double>"
+                    )
+                )
+            coords = srcs[0]
+            for s in srcs[1:]:
+                coords = coords.unionByName(s)
+            hole_coords = (
+                coords.join(F.broadcast(rdf), "h_rid")
+                .groupBy("win_rid")
+                .agg(
+                    F.collect_list("xs").alias("hole_xs"),
+                    F.collect_list("ys").alias("hole_ys"),
+                )
+                .withColumnRenamed("win_rid", "rid")
+            )
+            gpolys = gbase.join(F.broadcast(hole_coords), "rid", "left")
+        else:
+            gpolys = gbase.withColumn(
+                "hole_xs", F.lit(None).cast("array<array<double>>")
+            ).withColumn("hole_ys", F.lit(None).cast("array<array<double>>"))
+        gpolys = gpolys.withColumn(
+            "hole_xs",
+            F.coalesce("hole_xs", F.array().cast("array<array<double>>")),
+        ).withColumn(
+            "hole_ys",
+            F.coalesce("hole_ys", F.array().cast("array<array<double>>")),
+        )
+
+    if drop_collapsed:
+        out_polys = out_polys.where(F.col("net_area") > 1e-6)
+    result = out_polys.select(*final_cols)
+    if gpolys is not None:
+        result = result.unionByName(gpolys.select(*final_cols))
+    final = result.localCheckpoint(eager=True)
+    if release is not None:
+        release()
+    return final
+
+
 def assemble_rings_fused(
     trace_out: DataFrame,
     merged: DataFrame | None,

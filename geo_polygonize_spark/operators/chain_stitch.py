@@ -100,6 +100,39 @@ CHAIN_SCHEMA = T.StructType(
     ]
 )
 
+# r5 in-trace assembly: the trace kernel emits assembled POLYGONS for
+# its core-contained rings (kind 0) plus chains (kind 1), unparented
+# CW holes awaiting a possible merged-shell parent (kind 2), and
+# narrow attached-hole records (kind 3) so the finish can revise the
+# rare holes a chain-closed (merged) shell steals. ``area`` is the
+# SIGNED shell area on kind 0 (promotion = area<0, reversible), the
+# UNSIGNED hole area on kinds 2/3.
+CHAIN_FUSED_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.IntegerType()),
+        T.StructField("rid", T.LongType()),
+        T.StructField("core", T.LongType()),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+        T.StructField("hole_xs", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("hole_ys", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("hole_rids", T.ArrayType(T.LongType())),
+        T.StructField("n_holes", T.IntegerType()),
+        T.StructField("net_area", T.DoubleType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("bx1", T.DoubleType()),
+        T.StructField("by1", T.DoubleType()),
+        T.StructField("bx2", T.DoubleType()),
+        T.StructField("by2", T.DoubleType()),
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+        T.StructField("head_key", T.LongType()),
+        T.StructField("tail_key", T.LongType()),
+        T.StructField("cand_rid", T.LongType()),
+        T.StructField("cand_area", T.DoubleType()),
+    ]
+)
+
 
 def _prof(label: str, t0: float) -> float:
     """Env-gated phase timer (SPARK_GRAFT_PROFILE=1): prints the wall
@@ -451,6 +484,130 @@ def _make_chain_kernel(x0, y0, ts, buffer_eff, snap_grid, cols, rows, fmap):
     return kernel
 
 
+def _ring_rids(coords_x, coords_y, area, bx1, by1, bx2, by2) -> np.ndarray:
+    """Deterministic 64-bit ring ids from canonical ring stats plus
+    sampled vertices. Rings are rotation-canonicalized before their
+    stats, so every field is tracer-invariant; the SIGNED area
+    separates exact-bbox twins. Same 64-bit collision posture as the
+    chain link keys (the merge collision guard documents it)."""
+    n = len(coords_x)
+    if n == 0:
+        return np.empty(0, np.int64)
+    parts = [
+        np.fromiter((a.size for a in coords_x), np.int64, n).astype(np.float64),
+        np.fromiter((a[0] for a in coords_x), np.float64, n),
+        np.fromiter((a[0] for a in coords_y), np.float64, n),
+        np.fromiter((a[a.size >> 1] for a in coords_x), np.float64, n),
+        np.fromiter((a[a.size >> 1] for a in coords_y), np.float64, n),
+        np.asarray(area, np.float64), np.asarray(bx1, np.float64),
+        np.asarray(by1, np.float64), np.asarray(bx2, np.float64),
+        np.asarray(by2, np.float64),
+    ]
+    with np.errstate(over="ignore"):
+        h = np.full(n, 0x243F6A8885A308D3, dtype=np.uint64)
+        for a in parts:
+            h = _mix64(h ^ a.view(np.uint64))
+    return h.view(np.int64)
+
+
+def _make_chain_fused_kernel(x0, y0, ts, buffer_eff, snap_grid, cols, rows, fmap):
+    """Trace + IN-TASK tentative assembly (r5): wraps the plain chain
+    kernel and assembles this claim core's polygons immediately, so
+    ring coordinates never take a second Python round-trip through a
+    phase-2 kernel. Soundness is the fused-assembly completeness
+    argument (assembly.py header): a fully-claimed ring lies inside
+    its core, so a member hole's local candidates all live in this
+    task; only chain-closed (merged) shells can revise an attachment,
+    deferred to narrow rows (kinds 2/3) resolved in
+    ``assembly.assemble_rings_fused_trace``."""
+    from .assembly import _core_key, _core_local_assembly
+
+    inner = _make_chain_kernel(x0, y0, ts, buffer_eff, snap_grid, cols, rows, fmap)
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from .spatial_join import _ray_cast_rows
+
+        tile_i, tile_j, f, sub_i, sub_j = (int(v) for v in key)
+        core = int(_core_key(tile_i, tile_j, f, sub_i, sub_j, rows))
+        base = inner(key, pdf)
+        out: dict = {fld.name: [] for fld in CHAIN_FUSED_SCHEMA.fields}
+
+        def emit(kind, **kw):
+            out["kind"].append(kind)
+            for fld in CHAIN_FUSED_SCHEMA.fields[1:]:
+                out[fld.name].append(kw.get(fld.name))
+
+        kinds = base["kind"].to_numpy() if len(base) else np.empty(0, np.int64)
+        for i in np.flatnonzero(kinds == 1).tolist():
+            emit(
+                1, core=core, xs=base["xs"].iat[i], ys=base["ys"].iat[i],
+                head_key=int(base["head_key"].iat[i]),
+                tail_key=int(base["tail_key"].iat[i]),
+            )
+
+        ring_pos = np.flatnonzero(kinds == 0)
+        if ring_pos.size:
+            area = base["area"].to_numpy()[ring_pos]
+            bx1 = base["bx1"].to_numpy()[ring_pos]
+            by1 = base["by1"].to_numpy()[ring_pos]
+            bx2 = base["bx2"].to_numpy()[ring_pos]
+            by2 = base["by2"].to_numpy()[ring_pos]
+            cxa = base["cx"].to_numpy()[ring_pos]
+            cya = base["cy"].to_numpy()[ring_pos]
+            coords_x = [
+                np.asarray(base["xs"].iat[i], np.float64) for i in ring_pos.tolist()
+            ]
+            coords_y = [
+                np.asarray(base["ys"].iat[i], np.float64) for i in ring_pos.tolist()
+            ]
+            rid = _ring_rids(coords_x, coords_y, area, bx1, by1, bx2, by2)
+            (
+                sh, s_area, ho, h_area, hx, hy, best_area, best_rid, best_local
+            ) = _core_local_assembly(
+                area, rid, cxa, cya, bx1, by1, bx2, by2,
+                coords_x, coords_y, np.arange(ring_pos.size), _ray_cast_rows,
+            )
+            attach: dict = {}
+            for p in range(ho.size):
+                if best_local[p] >= 0:
+                    attach.setdefault(int(best_local[p]), []).append(p)
+                    emit(
+                        3, rid=int(rid[ho[p]]), core=core,
+                        area=float(h_area[p]), cx=float(hx[p]), cy=float(hy[p]),
+                        cand_rid=int(best_rid[p]), cand_area=float(best_area[p]),
+                    )
+                else:
+                    # no local parent — a merged shell may adopt it
+                    emit(
+                        2, rid=int(rid[ho[p]]), core=core,
+                        xs=coords_x[ho[p]], ys=coords_y[ho[p]],
+                        area=float(h_area[p]), cx=float(hx[p]), cy=float(hy[p]),
+                    )
+            for pos in range(sh.size):
+                p = int(sh[pos])
+                xs_p, ys_p = coords_x[p], coords_y[p]
+                if area[p] < 0:  # promoted CW: re-wind CCW (reversible)
+                    xs_p, ys_p = xs_p[::-1], ys_p[::-1]
+                holes = attach.get(pos, ())
+                emit(
+                    0, rid=int(rid[p]), core=core, xs=xs_p, ys=ys_p,
+                    hole_xs=[coords_x[ho[q]] for q in holes],
+                    hole_ys=[coords_y[ho[q]] for q in holes],
+                    hole_rids=[int(rid[ho[q]]) for q in holes],
+                    n_holes=len(holes),
+                    net_area=float(abs(area[p]) - h_area[list(holes)].sum()),
+                    area=float(area[p]),
+                    bx1=float(bx1[p]), by1=float(by1[p]),
+                    bx2=float(bx2[p]), by2=float(by2[p]),
+                    cx=float(cxa[p]), cy=float(cya[p]),
+                )
+        return pd.DataFrame(
+            {k: pd.Series(v, dtype=object) for k, v in out.items()}
+        )
+
+    return kernel
+
+
 def _merge_walk(rows) -> tuple[list, list]:
     """Walk chain links and close every cycle in one dict pass.
     ``rows``: iterable of (head_key, tail_key, xs, ys). Returns closed
@@ -792,6 +949,7 @@ def chain_stitched_polygonize(
     import time as _time
 
     _t = _time.time()
+    _orig_tile = float(tile_size)
     segments = (
         _segments if _segments is not None else segmentize_df(lines_df).persist()
     )
@@ -932,15 +1090,29 @@ def chain_stitched_polygonize(
     n_parts = max(int(spark.sparkContext.defaultParallelism) * 2, 16)
     assigned = assigned.repartition(n_parts, *key_cols)
 
-    kernel = _make_chain_kernel(
-        x0, y0, float(tile_size), buffer_eff, snap_grid, cols, rows, fmap
+    if assembly not in ("auto", "local", "distributed", "split", "fused"):
+        raise ValueError(
+            f"assembly must be auto|local|distributed|split|fused, got {assembly!r}"
+        )
+    # r5 in-trace assembly: above ~40k segments the per-core polygon
+    # assembly runs INSIDE the trace kernel (ring coordinates make no
+    # second Python round-trip); below it, one-task local assembly
+    # still beats the extra narrow finish jobs on latency
+    use_fused_trace = assembly == "fused" or (
+        assembly == "auto" and n_segments > 40_000
     )
-    out = assigned.groupBy(*key_cols).applyInPandas(kernel, CHAIN_SCHEMA).persist()
+    kernel = (
+        _make_chain_fused_kernel if use_fused_trace else _make_chain_kernel
+    )(x0, y0, float(tile_size), buffer_eff, snap_grid, cols, rows, fmap)
+    out = assigned.groupBy(*key_cols).applyInPandas(
+        kernel, CHAIN_FUSED_SCHEMA if use_fused_trace else CHAIN_SCHEMA
+    ).persist()
 
-    local_rings = out.where(F.col("kind") == 0).select(
-        "xs", "ys", "area", "bx1", "by1", "bx2", "by2", "cx", "cy",
-        F.lit(0).cast("int").alias("level"), F.lit(False).alias("beacon"),
-    )
+    if not use_fused_trace:
+        local_rings = out.where(F.col("kind") == 0).select(
+            "xs", "ys", "area", "bx1", "by1", "bx2", "by2", "cx", "cy",
+            F.lit(0).cast("int").alias("level"), F.lit(False).alias("beacon"),
+        )
     chains = out.where(F.col("kind") == 1)
     # ONE job over the cached kernel output supplies both decisions
     # (merge strategy + assembly strategy): n_chains exactly, and
@@ -964,10 +1136,32 @@ def chain_stitched_polygonize(
         merged = _merge_chain_cycles_distributed(chains)
     _t = _prof("merge_build", _t)
 
-    if assembly not in ("auto", "local", "distributed", "split"):
-        raise ValueError(
-            f"assembly must be auto|local|distributed|split, got {assembly!r}"
+    if use_fused_trace:
+        from .assembly import assemble_rings_fused_trace
+
+        res = assemble_rings_fused_trace(
+            out, merged, x0, y0, float(tile_size), cols, rows, fmap,
+            drop_collapsed=drop_collapsed, release=out.unpersist,
         )
+        _t = _prof("fused_trace_finish", _t)
+        if res is not None:
+            return res
+        # pathological merged residue tripped the collection gates:
+        # lossless fallback — re-run with ring emission + the
+        # distributed assembly (costs one extra trace; residues this
+        # size mean the input is boundary-dominated anyway)
+        out.unpersist()
+        return chain_stitched_polygonize(
+            lines_df, _orig_tile, buffer=buffer, bbox=bbox,
+            snap_grid=snap_grid, drop_collapsed=drop_collapsed,
+            assembly="distributed",
+            distributed_assembly_threshold=distributed_assembly_threshold,
+            chain_merge_threshold=chain_merge_threshold,
+            max_segments_per_tile=max_segments_per_tile,
+            max_split_factor=max_split_factor,
+            target_segments_per_tile=target_segments_per_tile,
+        )
+
     if assembly == "auto":
         # r5: large ring sets take the FUSED per-core assembly (zero
         # extra shuffles of ring data) instead of the global joins —

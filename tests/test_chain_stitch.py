@@ -202,6 +202,109 @@ def test_chain_subsplit_big_rings_and_dangles(spark):
     assert sorted(round(r["area"], 6) for r in got) == [0.0, 400.0, 3200.0, 6400.0]
 
 
+def test_chain_fused_trace_assembly_equals_global(spark):
+    """assembly="fused" (r5 in-trace assembly): polygons are assembled
+    inside the trace kernel and only narrow rows reach the finish.
+    Covers merged shells adopting unparented holes (nested_holes) and
+    a plain lattice with no merged residue at all."""
+    xs, ys, node, snap = fixture("nested_holes")
+    df = lines_to_df(spark, xs, ys)
+    got = chain_stitched_polygonize(
+        df, tile_size=10.0, buffer=2.0, bbox=(0.0, 0.0, 100.0, 100.0),
+        assembly="fused",
+    ).collect()
+    want = polygonize(df, node_input=node, snap_grid=snap).collect()
+    assert keyset(got) == keyset(want)
+    donut = next(r for r in got if abs(r["area"] - 6400.0) < 1e-6)
+    assert donut["n_holes"] == 1
+
+    n = 12
+    xs, ys = grid_lines(n)
+    df = lines_to_df(spark, xs, ys)
+    got = chain_stitched_polygonize(
+        df, tile_size=4.0, buffer=1.5, bbox=(0.0, 0.0, float(n), float(n)),
+        drop_collapsed=True, assembly="fused",
+    ).collect()
+    want = polygonize(df, node_input=True, drop_collapsed=True).collect()
+    assert keyset(got) == keyset(want) and len(got) == n * n
+
+
+def test_chain_fused_visitor_routing(spark):
+    """Mixed scales under the fused trace: the net-zero promoted hull
+    is a merged shell that must adopt the 64 one-cell CW holes through
+    the narrow kind-2 adopt route, and the giant merged ring must stay
+    hole-free."""
+    n = 8
+    gx, gy = grid_lines(n)
+    gx = [x + 20.0 for x in gx]
+    gy = [y + 20.0 for y in gy]
+    giant_x = np.array([0.0, 60.0, 60.0, 0.0, 0.0])
+    giant_y = np.array([0.0, 0.0, 60.0, 60.0, 0.0])
+    df = lines_to_df(spark, gx + [giant_x], gy + [giant_y])
+    bbox = (0.0, 0.0, 60.0, 60.0)
+    got = chain_stitched_polygonize(
+        df, tile_size=4.0, buffer=1.5, bbox=bbox, assembly="fused"
+    ).collect()
+    want = polygonize(df, node_input=True).collect()
+    assert keyset(got) == keyset(want)
+    assert next(r for r in got if abs(r["area"] - 3600.0) < 1e-6)["n_holes"] == 0
+    assert next(r for r in got if abs(r["area"]) < 1e-6)["n_holes"] == 64
+    # drop_collapsed must also drop a MERGED net-zero polygon
+    got2 = chain_stitched_polygonize(
+        df, tile_size=4.0, buffer=1.5, bbox=bbox, assembly="fused",
+        drop_collapsed=True,
+    ).collect()
+    assert all(r["area"] > 1e-6 for r in got2)
+    assert len(got2) == len(got) - 1
+
+
+def test_chain_fused_subsplit_and_dist_merge(spark):
+    """Fused trace under forced f×f claiming sub-splits AND the forced
+    distributed chain merge: both alternate code paths feed the same
+    fused finish."""
+    xs, ys, node, snap = fixture("nested_holes")
+    xs = xs + [[50.0, 120.0]]
+    ys = ys + [[50.0, 50.0]]
+    df = lines_to_df(spark, xs, ys)
+    want = polygonize(df, node_input=True).collect()
+    got = chain_stitched_polygonize(
+        df, tile_size=10.0, buffer=2.0, bbox=(0.0, 0.0, 120.0, 100.0),
+        max_segments_per_tile=4, max_split_factor=3, assembly="fused",
+    ).collect()
+    assert keyset(got) == keyset(want)
+    got_dm = chain_stitched_polygonize(
+        df, tile_size=10.0, buffer=2.0, bbox=(0.0, 0.0, 120.0, 100.0),
+        chain_merge_threshold=0, assembly="fused",
+    ).collect()
+    assert keyset(got_dm) == keyset(want)
+
+
+def test_chain_fused_gate_fallback(spark, monkeypatch):
+    """When the merged residue trips the fused finish's collection
+    gates it returns None and the engine must fall back to the
+    lossless distributed assembly with identical results."""
+    from geo_polygonize_spark.operators import assembly as asm
+
+    real = asm.assemble_rings_fused_trace
+    calls = []
+
+    def gated(*a, **kw):
+        calls.append(1)
+        kw["global_rows_gate"] = 0  # any merged residue trips the gate
+        return real(*a, **kw)
+
+    monkeypatch.setattr(asm, "assemble_rings_fused_trace", gated)
+    xs, ys, node, snap = fixture("nested_holes")
+    df = lines_to_df(spark, xs, ys)
+    got = chain_stitched_polygonize(
+        df, tile_size=10.0, buffer=2.0, bbox=(0.0, 0.0, 100.0, 100.0),
+        assembly="fused",
+    ).collect()
+    want = polygonize(df, node_input=node, snap_grid=snap).collect()
+    assert keyset(got) == keyset(want)
+    assert calls  # the gated finish ran (and returned None internally)
+
+
 def test_stitched_strategy_chain_dispatch(spark):
     """stitched_polygonize(strategy="chain") delegates to the chain
     engine and matches the level strategy exactly."""

@@ -216,3 +216,16 @@ def test_chain_stitch_agrees_with_global(spark, seed):
         ).collect()
     )
     assert got_split == want
+    got_fused = key(
+        chain_stitched_polygonize(
+            df,
+            tile_size=10.0,
+            buffer=4.0,
+            bbox=(0.0, 0.0, 40.0, 40.0),
+            drop_collapsed=True,
+            max_segments_per_tile=15,
+            max_split_factor=3,
+            assembly="fused",
+        ).collect()
+    )
+    assert got_fused == want
