@@ -414,6 +414,7 @@ def assemble_rings_split(
         "ys": [np.asarray(r["ys"], np.float64) for r, _ in gshells],
     }
     gbc = spark.sparkContext.broadcast(payload)
+    _mark('reach_index+broadcast')
 
     members = tagged.where("is_local").select(
         F.col("ti").alias("tile_i"), F.col("tj").alias("tile_j"),
@@ -1132,6 +1133,17 @@ def assemble_rings_fused_trace(
     min-(area, rid) rule. Returns None when the merged residue trips
     the collection gates — the caller falls back to the lossless
     distributed assembly."""
+    import os as _os
+    import time as _time
+    _profon = bool(_os.environ.get("GP_ASM_PROF"))
+    _tm = {"t": _time.time()}
+
+    def _mark(name):
+        if _profon:
+            now = _time.time()
+            print(f"FTPROF| {name}: {now - _tm['t']:.3f}", flush=True)
+            _tm["t"] = now
+
     spark = trace_out.sparkSession
     polys = trace_out.where(F.col("kind") == 0)
 
@@ -1152,6 +1164,7 @@ def assemble_rings_fused_trace(
             return None
     gshells, gvisitors = _promote_rows(grows)
     ng = len(gshells)
+    _mark('merged_collect+promote')
 
     final_cols = [
         F.lit(-2).cast("int").alias("tile_i"),
@@ -1213,6 +1226,7 @@ def assemble_rings_fused_trace(
         "xs": g_xs, "ys": g_ys, "by_core": by_core, "always": g_always,
     }
     gbc = spark.sparkContext.broadcast(payload)
+    _mark('reach_index+broadcast')
 
     # ---- narrow merged-parent resolution (adopts + steals) ----------
     adopts: list = []  # (h_rid, win_rid, h_area)
@@ -1232,6 +1246,7 @@ def assemble_rings_fused_trace(
                      float(r["h_area"]))
                 )
 
+    _mark('narrow_resolve')
     # ---- visitors (merged CW holes): local shells ∪ merged shells ---
     # driver part — merged-vs-merged candidates (min per visitor)
     vis_best: dict = {}  # h_rid -> (area, rid)
@@ -1300,6 +1315,7 @@ def assemble_rings_fused_trace(
                 if key not in vis_best or c < vis_best[key]:
                     vis_best[key] = c
 
+    _mark('visitors')
     # ---- per-merged-shell nets + hole-coord routing -----------------
     g_rid_set = set(g_rid.tolist())
     gagg: dict = {}  # g_rid -> [h_sum, h_n]
@@ -1419,6 +1435,7 @@ def assemble_rings_fused_trace(
             .drop("p_xs", "p_ys", "p_sum", "p_n")
         )
 
+    _mark('local_patches_plan')
     # ---- merged polygons (driver gbase + routed hole coords) --------
     surviving = []
     for r, prom in gshells:
@@ -1427,6 +1444,7 @@ def assemble_rings_fused_trace(
         if drop_collapsed and net <= 1e-6:  # polygonizer.rs:255-258
             continue
         surviving.append((r, prom, net, hn))
+    _mark('gb:surviving')
     gpolys = None
     if surviving:
         gpdf = pd.DataFrame(
@@ -1449,6 +1467,7 @@ def assemble_rings_fused_trace(
             "rid long, xs array<double>, ys array<double>, "
             "net_area double, n_holes int, cx double, cy double",
         )
+        _mark('gb:createDataFrame')
         need_holes = {int(r["rid"]) for r, _, _, hn in surviving if hn > 0}
         if need_holes:
             # route hole coords: adopted (kind-2 cache rows), stolen
@@ -1459,28 +1478,37 @@ def assemble_rings_fused_trace(
             ] + vis_merged
             routes = [(h, w) for h, w in routes if w in need_holes]
             rdf = spark.createDataFrame(routes, "h_rid long, win_rid long")
+            _mark('gb:routes')
+            # broadcast SEMI-joins, never isin: the id sets can reach
+            # 10^5 and Column.isin builds one JVM literal per element
+            # (measured 99 s of pure Py4J on sparse-60k)
+            def _idf(ids, col):
+                return spark.createDataFrame(
+                    pd.DataFrame({col: pd.Series(sorted(ids), dtype="int64")}),
+                    f"{col} long",
+                )
+
             srcs = []
-            adopt_ids = {h for h, w, _ in adopts}
+            adopt_ids = {int(h) for h, w, _ in adopts}
             if adopt_ids:
                 srcs.append(
-                    trace_out.where(
-                        (F.col("kind") == 2)
-                        & F.col("rid").isin([int(v) for v in adopt_ids])
-                    ).select(F.col("rid").alias("h_rid"), "xs", "ys")
+                    trace_out.where(F.col("kind") == 2)
+                    .join(F.broadcast(_idf(adopt_ids, "rid")), "rid", "semi")
+                    .select(F.col("rid").alias("h_rid"), "xs", "ys")
                 )
             if steals:
-                loser_ids = [loser for _, loser, _, _ in steals]
-                stolen_ids = {h for h, _, _, _ in steals}
+                loser_ids = {int(loser) for _, loser, _, _ in steals}
+                stolen_ids = {int(h) for h, _, _, _ in steals}
                 zipped = F.arrays_zip("hole_rids", "hole_xs", "hole_ys")
                 srcs.append(
-                    polys.where(F.col("rid").isin([int(v) for v in loser_ids]))
+                    polys.join(F.broadcast(_idf(loser_ids, "rid")), "rid", "semi")
                     .select(F.explode(zipped).alias("z"))
                     .select(
                         F.col("z.hole_rids").alias("h_rid"),
                         F.col("z.hole_xs").alias("xs"),
                         F.col("z.hole_ys").alias("ys"),
                     )
-                    .where(F.col("h_rid").isin([int(v) for v in stolen_ids]))
+                    .join(F.broadcast(_idf(stolen_ids, "h_rid")), "h_rid", "semi")
                 )
             if vis_merged:
                 vm = pd.DataFrame(
@@ -1510,6 +1538,7 @@ def assemble_rings_fused_trace(
                 .withColumnRenamed("win_rid", "rid")
             )
             gpolys = gbase.join(F.broadcast(hole_coords), "rid", "left")
+            _mark('gb:coords_plan')
         else:
             gpolys = gbase.withColumn(
                 "hole_xs", F.lit(None).cast("array<array<double>>")
@@ -1522,12 +1551,14 @@ def assemble_rings_fused_trace(
             F.coalesce("hole_ys", F.array().cast("array<array<double>>")),
         )
 
+    _mark('gbase_plan')
     if drop_collapsed:
         out_polys = out_polys.where(F.col("net_area") > 1e-6)
     result = out_polys.select(*final_cols)
     if gpolys is not None:
         result = result.unionByName(gpolys.select(*final_cols))
     final = result.localCheckpoint(eager=True)
+    _mark('final_checkpoint')
     if release is not None:
         release()
     return final
@@ -1641,6 +1672,7 @@ def assemble_rings_fused(
         "xs": g_xs, "ys": g_ys, "by_core": by_core, "always": g_always,
     }
     gbc = spark.sparkContext.broadcast(payload)
+    _mark('reach_index+broadcast')
     _mark("index+broadcast")
 
     # visitor holes: every merged CW ring, probing the cores whose

@@ -1094,13 +1094,18 @@ def chain_stitched_polygonize(
         raise ValueError(
             f"assembly must be auto|local|distributed|split|fused, got {assembly!r}"
         )
-    # r5 in-trace assembly: above ~40k segments the per-core polygon
-    # assembly runs INSIDE the trace kernel (ring coordinates make no
-    # second Python round-trip); below it, one-task local assembly
-    # still beats the extra narrow finish jobs on latency
-    use_fused_trace = assembly == "fused" or (
-        assembly == "auto" and n_segments > 40_000
-    )
+    # r5 in-trace assembly (assembly="fused", experimental, NEVER the
+    # auto pick): assembling polygons inside the trace kernel LOST the
+    # interleaved A/B to the phase-2 fused assembly on every workload
+    # (grid-400 7.6 s vs 6.1, grid-100 3.6 s vs 1.3, grid-800 15.0 s
+    # vs 13.6, sparse-60k ~2× — BENCH.md r5) — the avoided second
+    # Python pass over ring coordinates was already cheap (parallel
+    # map over the cached trace output), while the fused trace pays a
+    # 21-field Arrow schema on EVERY ring plus a driver round-trip for
+    # the merged residue. Kept as an explicit option because it is the
+    # one shape whose finish moves only narrow rows when the merged
+    # residue is tiny; auto stays on the measured winner.
+    use_fused_trace = assembly == "fused"
     kernel = (
         _make_chain_fused_kernel if use_fused_trace else _make_chain_kernel
     )(x0, y0, float(tile_size), buffer_eff, snap_grid, cols, rows, fmap)

@@ -104,6 +104,9 @@ def main() -> None:
         g1, tile_size=25.0, buffer=1.5, bbox=bb1, drop_collapsed=True, strategy="level").count(), 10000)
     add("grid100", "chain_split", lambda: chain_stitched_polygonize(
         g1, tile_size=25.0, buffer=1.5, bbox=bb1, drop_collapsed=True).count(), 10000)
+    add("grid100", "chain_fused", lambda: chain_stitched_polygonize(
+        g1, tile_size=25.0, buffer=1.5, bbox=bb1, drop_collapsed=True,
+        assembly="fused").count(), 10000)
     add("grid400", "tiled", lambda: tiled_polygonize(
         g4, tile_size=50.0, buffer=1.5, bbox=bb4, drop_collapsed=True).count(), 160000)
     add("grid400", "level", lambda: stitched_polygonize(
@@ -112,7 +115,11 @@ def main() -> None:
         g4, tile_size=50.0, buffer=1.5, bbox=bb4, drop_collapsed=True,
         assembly="distributed").count(), 160000)
     add("grid400", "chain_split", lambda: chain_stitched_polygonize(
-        g4, tile_size=50.0, buffer=1.5, bbox=bb4, drop_collapsed=True).count(), 160000)
+        g4, tile_size=50.0, buffer=1.5, bbox=bb4, drop_collapsed=True,
+        assembly="split").count(), 160000)
+    add("grid400", "chain_fused", lambda: chain_stitched_polygonize(
+        g4, tile_size=50.0, buffer=1.5, bbox=bb4, drop_collapsed=True,
+        assembly="fused").count(), 160000)
     add("random200", "tiled", lambda: tiled_polygonize(
         r2, tile_size=50.0, buffer=10.0, bbox=bb1, drop_collapsed=True).count())
     add("random200", "level", lambda: stitched_polygonize(
@@ -124,7 +131,11 @@ def main() -> None:
     add("sparse60k", "level", lambda: stitched_polygonize(
         sparse, tile_size=100.0, buffer=30.0, bbox=sparse_bb, drop_collapsed=True, strategy="level").count())
     add("sparse60k", "chain_split", lambda: chain_stitched_polygonize(
-        sparse, tile_size=100.0, buffer=30.0, bbox=sparse_bb, drop_collapsed=True).count())
+        sparse, tile_size=100.0, buffer=30.0, bbox=sparse_bb, drop_collapsed=True,
+        assembly="split").count())
+    add("sparse60k", "chain_fused", lambda: chain_stitched_polygonize(
+        sparse, tile_size=100.0, buffer=30.0, bbox=sparse_bb, drop_collapsed=True,
+        assembly="fused").count())
     add("grid100", "auto", lambda: stitched_polygonize(
         g1, tile_size=25.0, buffer=1.5, bbox=bb1, drop_collapsed=True).count(), 10000)
     add("grid400", "auto", lambda: stitched_polygonize(
@@ -141,7 +152,11 @@ def main() -> None:
         add("grid800", "level", lambda: stitched_polygonize(
             g8, tile_size=100.0, buffer=1.5, bbox=bb8, drop_collapsed=True, strategy="level").count(), 640000)
         add("grid800", "chain_split", lambda: chain_stitched_polygonize(
-            g8, tile_size=100.0, buffer=1.5, bbox=bb8, drop_collapsed=True).count(), 640000)
+            g8, tile_size=100.0, buffer=1.5, bbox=bb8, drop_collapsed=True,
+            assembly="split").count(), 640000)
+        add("grid800", "chain_fused", lambda: chain_stitched_polygonize(
+            g8, tile_size=100.0, buffer=1.5, bbox=bb8, drop_collapsed=True,
+            assembly="fused").count(), 640000)
 
     # warm every path (codegen + python workers), verify counts
     counts = {}
