@@ -414,7 +414,6 @@ def assemble_rings_split(
         "ys": [np.asarray(r["ys"], np.float64) for r, _ in gshells],
     }
     gbc = spark.sparkContext.broadcast(payload)
-    _mark('reach_index+broadcast')
 
     members = tagged.where("is_local").select(
         F.col("ti").alias("tile_i"), F.col("tj").alias("tile_j"),
@@ -1672,7 +1671,6 @@ def assemble_rings_fused(
         "xs": g_xs, "ys": g_ys, "by_core": by_core, "always": g_always,
     }
     gbc = spark.sparkContext.broadcast(payload)
-    _mark('reach_index+broadcast')
     _mark("index+broadcast")
 
     # visitor holes: every merged CW ring, probing the cores whose
