@@ -117,16 +117,21 @@ def sessionize_stream(events_stream: DataFrame, gap_minutes: float = 30.0) -> Da
         # stays O(1).
         chunks = [c for c in pdfs if len(c)]
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             # r4: vectorized within-batch — gap breaks via np.diff,
             # per-session aggregates via ufunc.reduceat; the Python
             # interpreter touches only the single batch-edge merge
             # with the carried open-session state (was a per-event
             # loop, the one interpreter-bound streaming hot path).
-            pdf = pdf.sort_values(["t_us", "event_id"])
-            tus = pdf["t_us"].to_numpy(np.int64)
-            eid = pdf["event_id"].to_numpy(np.int64)
-            cts = pdf["cents"].to_numpy(np.int64)
+            # r5: only the three needed columns leave pandas — column
+            # concatenation + one lexsort over int64 keys replaces the
+            # whole-DataFrame pd.concat + sort_values copies.
+            tus = np.concatenate([c["t_us"].to_numpy(np.int64) for c in chunks])
+            eid = np.concatenate([c["event_id"].to_numpy(np.int64) for c in chunks])
+            cts = np.concatenate([c["cents"].to_numpy(np.int64) for c in chunks])
+            order = np.lexsort((eid, tus))
+            tus = tus[order]
+            eid = eid[order]
+            cts = cts[order]
             if t1 is not None and int(tus[0]) < t1:
                 raise ValueError(
                     f"sessionize_stream: out-of-order event for user {user} "
