@@ -415,6 +415,69 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
         # visits an out-of-window node → its bbox escapes → beacon (3b)
         degen = np.abs(area) < 1e-9  # polygonizer.rs:138-140
 
+        # --- tight escape beacons (r5) -------------------------------
+        # An escaped cycle beacons ONLY if it touches this core, and
+        # its beacon bbox covers just its CORE-INCIDENT segments, not
+        # the whole wander. Soundness: every segment s of an unemitted
+        # ring has an endpoint vertex p in exactly one core; that core
+        # tile's local cycle through s's half-edge visits p (in core)
+        # and either completes (→ emitted / type-b beacon with full
+        # ring bbox) or escapes (→ tight beacon whose box includes p
+        # AND its ring-neighbors, hence all of s — axis-box convexity).
+        # So unemitted linework stays beacon-covered, while interior
+        # tiles' window-artifact cycles (no core vertex) stop
+        # beaconing — escalation regions hug the unresolved linework
+        # instead of blanketing every tile at every level.
+        if n:
+            vin = (
+                (xr >= core_x0)
+                & (xr < core_x0 + side)
+                & (yr >= core_y0)
+                & (yr < core_y0 + side)
+            )
+            ring_core = np.logical_or.reduceat(vin, off)
+            idx = np.arange(xr.size)
+            ring_end = off + L - 1
+            nxt = idx + 1
+            nxt[ring_end] = off
+            prv = idx - 1
+            prv[off] = ring_end
+            # dm: vertices on core-incident segments (a segment is
+            # core-incident iff either endpoint vertex is in-core, so
+            # dilate the vertex mask by one ring-neighbor each way)
+            dm = vin | vin[nxt] | vin[prv]
+            esc = ~inwin & ring_core
+            # one beacon box per RUN of consecutive core-incident
+            # vertices (an L-shaped shell fragment through a corner
+            # core yields two thin strips, not one core-sized box);
+            # runs never merge across the flat ring boundary, so a
+            # fragment straddling the canonical start point emits two
+            # run boxes plus a wrap box for its start edge
+            ring_id = np.repeat(np.arange(n), L)
+            vesc = dm & esc[ring_id]
+            pos = np.flatnonzero(vesc)
+            if pos.size:
+                is_off = np.zeros(xr.size, dtype=bool)
+                is_off[off] = True
+                starts_v = vesc & (~vesc[prv] | is_off)
+                bnd = np.flatnonzero(starts_v[pos])
+                rbx1 = np.minimum.reduceat(xr[pos], bnd)
+                rby1 = np.minimum.reduceat(yr[pos], bnd)
+                rbx2 = np.maximum.reduceat(xr[pos], bnd)
+                rby2 = np.maximum.reduceat(yr[pos], bnd)
+                wrap = np.flatnonzero(esc & vesc[ring_end] & vesc[off])
+                if wrap.size:
+                    we, wo = ring_end[wrap], off[wrap]
+                    rbx1 = np.concatenate((rbx1, np.minimum(xr[we], xr[wo])))
+                    rby1 = np.concatenate((rby1, np.minimum(yr[we], yr[wo])))
+                    rbx2 = np.concatenate((rbx2, np.maximum(xr[we], xr[wo])))
+                    rby2 = np.concatenate((rby2, np.maximum(yr[we], yr[wo])))
+            else:
+                rbx1 = rby1 = rbx2 = rby2 = np.empty(0)
+        else:
+            ring_core = np.zeros(0, dtype=bool)
+            rbx1 = rby1 = rbx2 = rby2 = np.empty(0)
+
         def owner_fit(ts, fmap):
             oti = np.floor((cx - x0) / ts).astype(np.int64)
             otj = np.floor((cy - y0) / ts).astype(np.int64)
@@ -446,7 +509,10 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
             return (oti, otj, f_arr, osi, osj), fits
 
         owner, fits_owner = owner_fit(ts_py, factors)
-        is_beacon = (~inwin) | (inwin & ~degen & ~fits_owner)
+        # type-b beacons: COMPLETE rings that don't fit their owner's
+        # (sub-)window — per-ring rows with the full ring bbox. Escaped
+        # cycles beacon through the per-run boxes (rb*) instead.
+        is_beacon = inwin & ~degen & ~fits_owner
         emit = inwin & ~degen & fits_owner
         if prev_factors is not None:
             _, fits_prev = owner_fit(ts_py / 2.0, prev_factors)
@@ -468,23 +534,24 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
             o, l = off[i], L[i]
             xs_out.append(np.concatenate((xr[o : o + l], xr[o : o + 1])))
             ys_out.append(np.concatenate((yr[o : o + l], yr[o : o + 1])))
-        n_out = em.size + bc.size
+        n_bc = bc.size + rbx1.size
+        n_out = em.size + n_bc
         obj = lambda v: pd.Series(v, dtype=object)
-        zeros_bc = np.zeros(bc.size)
+        zeros_bc = np.zeros(n_bc)
         return pd.DataFrame(
             {
-                "xs": obj(xs_out + [np.empty(0)] * bc.size),
-                "ys": obj(ys_out + [np.empty(0)] * bc.size),
+                "xs": obj(xs_out + [np.empty(0)] * n_bc),
+                "ys": obj(ys_out + [np.empty(0)] * n_bc),
                 "area": np.concatenate((area[em], zeros_bc)),
-                "bx1": np.concatenate((bx1[em], bx1[bc])),
-                "by1": np.concatenate((by1[em], by1[bc])),
-                "bx2": np.concatenate((bx2[em], bx2[bc])),
-                "by2": np.concatenate((by2[em], by2[bc])),
+                "bx1": np.concatenate((bx1[em], bx1[bc], rbx1)),
+                "by1": np.concatenate((by1[em], by1[bc], rby1)),
+                "bx2": np.concatenate((bx2[em], bx2[bc], rbx2)),
+                "by2": np.concatenate((by2[em], by2[bc], rby2)),
                 "cx": np.concatenate((cx[em], zeros_bc)),
                 "cy": np.concatenate((cy[em], zeros_bc)),
                 "level": np.full(n_out, level, dtype=np.int32),
                 "beacon": np.concatenate(
-                    (np.zeros(em.size, dtype=bool), np.ones(bc.size, dtype=bool))
+                    (np.zeros(em.size, dtype=bool), np.ones(n_bc, dtype=bool))
                 ),
             }
         )
