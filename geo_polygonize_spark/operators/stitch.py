@@ -109,6 +109,7 @@ def stitched_polygonize(
     max_segments_per_tile: int | None = 200_000,
     max_split_factor: int = 16,
     strategy: str = "auto",
+    escalation: str = "pruned",
     _segments: DataFrame | None = None,
 ) -> DataFrame:
     """Exact distributed polygonize with no maximum polygon size.
@@ -136,6 +137,16 @@ def stitched_polygonize(
     a small ring set costs more in stage latency than one kernel
     call), "local" (always single-group), or "distributed" (always
     the DataFrame joins — the unbounded-scale path).
+
+    ``escalation``: "pruned" (default, r5) ships the previous level's
+    beacon boxes into each level-k kernel as tagged rows; the kernel
+    clips its segment input to the fattened boxes and rejects any
+    traced ring with consecutive vertices in no common box (a missed
+    split can only hide where two vertices span different boxes — see
+    the kernel comment), so levels ≥ 1 node and trace O(unresolved
+    linework) instead of re-polygonizing their full windows. "full"
+    restores the window-complete inputs (every level re-derives all
+    rings in its active tiles).
     """
     _seg_stats = None
     if strategy == "auto":
@@ -176,6 +187,8 @@ def stitched_polygonize(
         )
     if strategy != "level":
         raise ValueError(f"strategy must be auto|level|chain, got {strategy!r}")
+    if escalation not in ("pruned", "full"):
+        raise ValueError(f"escalation must be pruned|full, got {escalation!r}")
     segments = _segments if _segments is not None else segmentize_df(
         lines_df
     ).persist()
@@ -232,6 +245,7 @@ def stitched_polygonize(
     # per level.
     level_rings = []
     active = None  # level-k tile keys to process; None = all (level 0)
+    region = None  # level-k beacon-box rows (escalation="pruned")
     for k in range(n_levels):
         ts_k = tile_size * (2.0**k)
         cols = max(int(np.ceil((x1g - x0) / ts_k)), 1)
@@ -272,13 +286,29 @@ def stitched_polygonize(
                 .withColumn("sub_j", F.lit(0))
             )
 
+        assigned = assigned.select(
+            "tile_i", "tile_j", "f", "sub_i", "sub_j",
+            "x1", "y1", "x2", "y2", F.lit(False).alias("is_box"),
+        )
+        if region is not None:
+            # the previous level's beacon boxes ride into the SAME
+            # groups as the segments (tagged rows) so the kernel can
+            # clip its input — no driver barrier, the level chain
+            # stays one lazy job
+            assigned = assigned.unionByName(region)
         # explicit repartition at level 0: defeat AQE 1-task coalesce
         # (grouped-map cost is kernel CPU, not shuffle bytes); groupBy
         # reuses it. Levels ≥ 1 carry only beacon-escalated linework —
-        # usually tiny — so they keep AQE's coalescing (a handful of
-        # tasks) instead of n_parts near-empty python-worker tasks.
+        # cap their stages at the tile count (the region union defeats
+        # AQE's post-shuffle coalescing, which otherwise launched
+        # ~400 near-empty python-worker tasks per level — measured
+        # +1.0 s wall on grid-400).
         if k == 0:
             assigned = assigned.repartition(n_parts, *STITCH_KEY)
+        else:
+            assigned = assigned.repartition(
+                min(cols * rows, n_parts), *STITCH_KEY
+            )
         prev_factors = None if k == 0 else (factors if k == 1 else {})
         kernel = _make_ring_kernel(
             x0, y0, float(ts_k), k, buffer, snap_grid, k_factors, prev_factors
@@ -300,11 +330,26 @@ def stitched_polygonize(
         )
         # no distinct: a left-semi join tolerates duplicate keys on the
         # build side, and skipping it saves a shuffle per level
-        active = (
-            beacons.withColumn("tile_i", F.explode(F.sequence(bi_lo, bi_hi)))
-            .withColumn("tile_j", F.explode(F.sequence(bj_lo, bj_hi)))
-            .select("tile_i", "tile_j")
-        )
+        routed = beacons.withColumn(
+            "tile_i", F.explode(F.sequence(bi_lo, bi_hi))
+        ).withColumn("tile_j", F.explode(F.sequence(bj_lo, bj_hi)))
+        active = routed.select("tile_i", "tile_j")
+        if escalation == "pruned":
+            # coalesce(1): the box frame is boundary-sized; without it
+            # the union's map side re-reads every cached partition of
+            # ``out`` as its own task (~64 near-empty tasks per level)
+            region = routed.select(
+                "tile_i",
+                "tile_j",
+                F.lit(1).alias("f"),
+                F.lit(0).alias("sub_i"),
+                F.lit(0).alias("sub_j"),
+                F.col("bx1").alias("x1"),
+                F.col("by1").alias("y1"),
+                F.col("bx2").alias("x2"),
+                F.col("by2").alias("y2"),
+                F.lit(True).alias("is_box"),
+            ).coalesce(1)
 
     rings = level_rings[0]
     for df in level_rings[1:]:
@@ -372,6 +417,71 @@ def _assemble_rings_local(rings: DataFrame, drop_collapsed: bool) -> DataFrame:
     return rings.select("xs", "ys").coalesce(1).mapInPandas(kernel, POLYGON_SCHEMA)
 
 
+def _merge_boxes(boxes: np.ndarray, cap: int = 64) -> np.ndarray:
+    """Reduce a box set to ≤ ``cap`` by repeatedly merging spatially
+    adjacent pairs (lexsorted centers). Merging only GROWS coverage,
+    so the result is always a sound (conservative) escalation region —
+    with cap=1 it degrades to the hull, i.e. the pre-r5 full-window
+    behavior."""
+    boxes = np.unique(boxes, axis=0)
+    while boxes.shape[0] > cap:
+        cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+        cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+        boxes = boxes[np.lexsort((cy, cx))]
+        a, b = boxes[0::2], boxes[1::2]
+        tail = a[b.shape[0]:]
+        a = a[: b.shape[0]]
+        merged = np.stack(
+            (
+                np.minimum(a[:, 0], b[:, 0]),
+                np.minimum(a[:, 1], b[:, 1]),
+                np.maximum(a[:, 2], b[:, 2]),
+                np.maximum(a[:, 3], b[:, 3]),
+            ),
+            axis=1,
+        )
+        boxes = np.concatenate((merged, tail))
+    return boxes
+
+
+def _clip_segments_to_region(x1, y1, x2, y2, boxes):
+    """Keep segments intersecting any box; clip each survivor to the
+    param-interval HULL of its box intersections (one sub-segment per
+    input segment — no collinear duplicates for the noder). Points
+    and crossings INSIDE any box are preserved exactly: for p ∈ box B
+    on segment s, s ∩ B is part of the kept interval, so clipping
+    never cuts region-interior geometry."""
+    n = x1.size
+    if n == 0:
+        return x1, y1, x2, y2
+    dx = (x2 - x1)[:, None]
+    dy = (y2 - y1)[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx1 = (boxes[None, :, 0] - x1[:, None]) / dx
+        tx2 = (boxes[None, :, 2] - x1[:, None]) / dx
+        ty1 = (boxes[None, :, 1] - y1[:, None]) / dy
+        ty2 = (boxes[None, :, 3] - y1[:, None]) / dy
+    txlo, txhi = np.minimum(tx1, tx2), np.maximum(tx1, tx2)
+    tylo, tyhi = np.minimum(ty1, ty2), np.maximum(ty1, ty2)
+    zx = dx == 0
+    inx = (x1[:, None] >= boxes[None, :, 0]) & (x1[:, None] <= boxes[None, :, 2])
+    txlo = np.where(zx, np.where(inx, -np.inf, np.inf), txlo)
+    txhi = np.where(zx, np.where(inx, np.inf, -np.inf), txhi)
+    zy = dy == 0
+    iny = (y1[:, None] >= boxes[None, :, 1]) & (y1[:, None] <= boxes[None, :, 3])
+    tylo = np.where(zy, np.where(iny, -np.inf, np.inf), tylo)
+    tyhi = np.where(zy, np.where(iny, np.inf, -np.inf), tyhi)
+    tlo = np.maximum(txlo, tylo)
+    thi = np.minimum(txhi, tyhi)
+    hit = (tlo <= thi) & (thi >= 0.0) & (tlo <= 1.0)
+    keep = hit.any(axis=1)
+    t0 = np.where(hit, np.clip(tlo, 0.0, 1.0), np.inf).min(axis=1)[keep]
+    t1 = np.where(hit, np.clip(thi, 0.0, 1.0), -np.inf).max(axis=1)[keep]
+    bx, by = x1[keep], y1[keep]
+    ex, ey = (x2 - x1)[keep], (y2 - y1)[keep]
+    return bx + t0 * ex, by + t0 * ey, bx + t1 * ex, by + t1 * ey
+
+
 def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_factors=None):
     """Per-(sub-)tile trace kernel. ``factors``: this level's hot-tile
     split map {(tile_i, tile_j): f} — closed over so EVERY tracer
@@ -387,14 +497,45 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
         core_x0 = x0 + tile_i * ts_py + sub_i * side
         core_y0 = y0 + tile_j * ts_py + sub_j * side
         win = (core_x0 - buffer, core_y0 - buffer, core_x0 + side + buffer, core_y0 + side + buffer)
+        sx1 = pdf["x1"].to_numpy(np.float64)
+        sy1 = pdf["y1"].to_numpy(np.float64)
+        sx2 = pdf["x2"].to_numpy(np.float64)
+        sy2 = pdf["y2"].to_numpy(np.float64)
+        boxes = None
+        if "is_box" in pdf.columns:
+            bmask = pdf["is_box"].to_numpy(dtype=bool)
+            if bmask.any():
+                # escalation region (r5): previous level's beacon
+                # boxes, fattened so every segment CROSSING region
+                # linework is kept — for an edge (a,b) inside one
+                # fattened box, any crossing segment u intersects the
+                # box (convexity) and is therefore present, so noding
+                # along region-interior linework is exact
+                pad = buffer + 4.0 * snap_grid
+                boxes = np.stack(
+                    (
+                        sx1[bmask] - pad,
+                        sy1[bmask] - pad,
+                        sx2[bmask] + pad,
+                        sy2[bmask] + pad,
+                    ),
+                    axis=1,
+                )
+                boxes = _merge_boxes(boxes, cap=64)
+                sx1, sy1, sx2, sy2 = (
+                    v[~bmask] for v in (sx1, sy1, sx2, sy2)
+                )
+                sx1, sy1, sx2, sy2 = _clip_segments_to_region(
+                    sx1, sy1, sx2, sy2, boxes
+                )
         # prune only inside-window dangle tips (see graph.prune_dangles:
         # outside-tip stubs must survive so affected rings escape the
         # window and escalate instead of tracing spurious hulls)
         rxs, rys = trace_rings(
-            pdf["x1"].to_numpy(),
-            pdf["y1"].to_numpy(),
-            pdf["x2"].to_numpy(),
-            pdf["y2"].to_numpy(),
+            sx1,
+            sy1,
+            sx2,
+            sy2,
             node_input=True,
             snap_grid=snap_grid,
             prune_window=win,
@@ -446,7 +587,32 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
             # core-incident iff either endpoint vertex is in-core, so
             # dilate the vertex mask by one ring-neighbor each way)
             dm = vin | vin[nxt] | vin[prv]
-            esc = ~inwin & ring_core
+            if boxes is not None:
+                # region validity: every traversed edge must lie in a
+                # COMMON fattened box — a split can only be missed by
+                # an absent crossing segment, and an absent segment
+                # cannot reach an edge whose endpoints share a box
+                # (the box is convex and keeps every intersecting
+                # segment). Real unemitted rings always pass: each of
+                # their edges sits wholly inside one per-run beacon
+                # box from the previous level (run boxes include both
+                # endpoints of every core-incident segment).
+                nb = boxes.shape[0]
+                mb = np.zeros((xr.size, 64), dtype=bool)
+                mb[:, :nb] = (
+                    (xr[:, None] >= boxes[None, :, 0])
+                    & (xr[:, None] <= boxes[None, :, 2])
+                    & (yr[:, None] >= boxes[None, :, 1])
+                    & (yr[:, None] <= boxes[None, :, 3])
+                )
+                bits = np.frombuffer(
+                    np.packbits(mb, axis=1).tobytes(), dtype=np.uint64
+                )
+                edge_ok = (bits & bits[nxt]) != 0
+                valid = np.logical_and.reduceat(edge_ok, off)
+            else:
+                valid = np.ones(n, dtype=bool)
+            esc = (~inwin | ~valid) & ring_core
             # one beacon box per RUN of consecutive core-incident
             # vertices (an L-shaped shell fragment through a corner
             # core yields two thin strips, not one core-sized box);
@@ -476,6 +642,7 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
                 rbx1 = rby1 = rbx2 = rby2 = np.empty(0)
         else:
             ring_core = np.zeros(0, dtype=bool)
+            valid = np.ones(0, dtype=bool)
             rbx1 = rby1 = rbx2 = rby2 = np.empty(0)
 
         def owner_fit(ts, fmap):
@@ -509,11 +676,12 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
             return (oti, otj, f_arr, osi, osj), fits
 
         owner, fits_owner = owner_fit(ts_py, factors)
-        # type-b beacons: COMPLETE rings that don't fit their owner's
-        # (sub-)window — per-ring rows with the full ring bbox. Escaped
-        # cycles beacon through the per-run boxes (rb*) instead.
-        is_beacon = inwin & ~degen & ~fits_owner
-        emit = inwin & ~degen & fits_owner
+        # type-b beacons: COMPLETE (and region-valid) rings that don't
+        # fit their owner's (sub-)window — per-ring rows with the full
+        # ring bbox. Escaped or region-invalid cycles beacon through
+        # the per-run boxes (rb*) instead.
+        is_beacon = valid & inwin & ~degen & ~fits_owner
+        emit = valid & inwin & ~degen & fits_owner
         if prev_factors is not None:
             _, fits_prev = owner_fit(ts_py / 2.0, prev_factors)
             # already emitted at its minimal fitting level — don't ship
