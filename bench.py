@@ -145,14 +145,24 @@ def main() -> None:
         print(f"bench: section {name}: probe {current_probe['v']:.3f} s/pass",
               file=sys.stderr, flush=True)
 
-    def timed(name, fn, repeat: int = 2):
+    def timed(name, fn, repeat: int = 2, cold: bool = False):
         """min of ``repeat`` runs — comparable to the reference's
         criterion MEDIANS (rust_bench_output.txt samples each workload
         10×); a single cold run would mostly measure whole-stage
-        codegen compilation of a first-seen plan, not the engine."""
+        codegen compilation of a first-seen plan, not the engine.
+
+        ``cold`` (r5): clearCache before EVERY run. Spark's
+        CacheManager matches persisted frames by logical plan, so a
+        repeat of a query whose implementation persists intermediates
+        (every polygonize engine) otherwise reads those intermediates
+        from cache and times cache reads, not the engine — r4's
+        stitched walls did exactly that. Codegen still warms on the
+        first run; only the data cache is dropped."""
         best = None
         out = None
         for _ in range(repeat):
+            if cold:
+                spark.catalog.clearCache()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
@@ -202,6 +212,7 @@ def main() -> None:
             bbox=(0.0, 0.0, float(gn), float(gn)),
             drop_collapsed=True,
         ).count(),
+        cold=True,
     )
     assert c == gn * gn, f"grid100 produced {c}"
 
@@ -212,6 +223,7 @@ def main() -> None:
         lambda: tiled_polygonize(
             rnd_df, tile_size=50.0, buffer=10.0, bbox=(0.0, 0.0, 100.0, 100.0), drop_collapsed=True
         ).count(),
+        cold=True,
     )
 
     from geo_polygonize_spark.operators.stitch import stitched_polygonize
@@ -221,6 +233,7 @@ def main() -> None:
         lambda: stitched_polygonize(
             grid_df, tile_size=25.0, buffer=1.5, bbox=(0.0, 0.0, float(gn), float(gn)), drop_collapsed=True, strategy="level"
         ).count(),
+        cold=True,
     )
 
     # grid 400 (160k cells, 321k vertices): large enough that kernel
@@ -238,6 +251,7 @@ def main() -> None:
             bbox=(0.0, 0.0, float(g4), float(g4)),
             drop_collapsed=True,
         ).count(),
+        cold=True,
     )
     assert c4 == g4 * g4, f"grid400 produced {c4}"
     timed(
@@ -250,6 +264,7 @@ def main() -> None:
             drop_collapsed=True,
             strategy="level",
         ).count(),
+        cold=True,
     )
 
     # r4: boundary-chain stitch — the lattice-friendly alternative to
@@ -261,6 +276,7 @@ def main() -> None:
         lambda: chain_stitched_polygonize(
             grid_df, tile_size=25.0, buffer=1.5, bbox=(0.0, 0.0, float(gn), float(gn)), drop_collapsed=True
         ).count(),
+        cold=True,
     )
     timed(
         "chain_stitched_grid400",
@@ -271,6 +287,7 @@ def main() -> None:
             bbox=(0.0, 0.0, float(g4), float(g4)),
             drop_collapsed=True,
         ).count(),
+        cold=True,
     )
 
     # ---- flagship: images/sec through the full pipeline -------------

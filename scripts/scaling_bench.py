@@ -169,8 +169,40 @@ def main():
     results = []
     probes = [p0]
     for c in levels:
-        results.append(run_level(c, args.n_records, args.grid, args.n_lines))
-        probes.append(host_probe())  # stamp host state around each level
+        # r5: gate EACH level and reject it if the host throttled
+        # mid-level (the first watcher-fired run started healthy at
+        # probe 0.30 and finished at 3.63 — the 32-core level ran
+        # under throttle and "efficiency" measured the host, not the
+        # engine). A level is valid only when both bracketing probes
+        # are under the gate.
+        for attempt in range(4):
+            pb = host_probe()
+            if args.probe_gate is not None and pb > args.probe_gate:
+                print(
+                    json.dumps({"level_gated": c, "probe": pb, "attempt": attempt}),
+                    file=sys.stderr,
+                )
+                if attempt == 3:
+                    print(json.dumps({"skipped": True, "probe": pb, "mid_run": True}))
+                    sys.exit(3)
+                import time as _t
+
+                _t.sleep(45)
+                continue
+            r = run_level(c, args.n_records, args.grid, args.n_lines)
+            pa = host_probe()
+            probes.extend([pb, pa])
+            if args.probe_gate is not None and pa > args.probe_gate:
+                print(
+                    json.dumps({"level_tainted": c, "probe_after": pa}),
+                    file=sys.stderr,
+                )
+                if attempt == 3:
+                    print(json.dumps({"skipped": True, "probe": pa, "mid_run": True}))
+                    sys.exit(3)
+                continue
+            results.append(r)
+            break
     lo, hi = results[0], results[-1]
     ideal = hi["cpus"] / lo["cpus"]
     stream_speedup = hi["records_per_sec"] / lo["records_per_sec"]
