@@ -294,6 +294,13 @@ def tiled_polygonize(
 
     One shuffle (tile key) + one grouped-map Arrow UDF; optional
     pre-shuffle skew split of hot tiles (see module docstring).
+
+    Contract (reference-parity, src/tiling.rs:66-106): only polygons
+    that FIT a tile+buffer window are produced — larger polygons, and
+    polygons lying outside an explicitly-passed ``bbox`` (whose tile
+    grid clips the world), are dropped. Pass ``bbox=None`` to derive
+    the grid from the data, or use ``stitched_polygonize`` for exact
+    unbounded output regardless of bbox staleness.
     """
     assigned, kernel = prepare_tiled(
         lines_df,

@@ -148,6 +148,11 @@ def stitched_polygonize(
     restores the window-complete inputs (every level re-derives all
     rings in its active tiles).
     """
+    from .chain_stitch import _prof  # env-gated phase timers (SPARK_GRAFT_PROFILE)
+    import os as _os
+    import time as _time
+
+    _t = _time.time()
     _seg_stats = None
     if strategy == "auto":
         # one narrow aggregate over the segment set BOTH engines start
@@ -168,6 +173,7 @@ def stitched_polygonize(
         strategy = (
             "level" if (_seg_stats[0] / float(tile_size)) ** 2 >= 32.0 else "chain"
         )
+        _t = _prof("level/strategy_agg", _t)
     if strategy == "chain":
         from .chain_stitch import chain_stitched_polygonize
 
@@ -235,6 +241,7 @@ def stitched_polygonize(
             )
             for r in fac_rows
         }
+        _t = _prof("level/factor_map", _t)
 
     # The level chain is LAZY: level k+1's tile set derives from level
     # k's beacons through a broadcast semi-join INSIDE the plan, so one
@@ -310,8 +317,17 @@ def stitched_polygonize(
                 min(cols * rows, n_parts), *STITCH_KEY
             )
         prev_factors = None if k == 0 else (factors if k == 1 else {})
+        if k > 0:
+            ts_p = tile_size * (2.0 ** (k - 1))
+            prev_grid = (
+                max(int(np.ceil((x1g - x0) / ts_p)), 1),
+                max(int(np.ceil((y1g - y0) / ts_p)), 1),
+            )
+        else:
+            prev_grid = None
         kernel = _make_ring_kernel(
-            x0, y0, float(ts_k), k, buffer, snap_grid, k_factors, prev_factors
+            x0, y0, float(ts_k), k, buffer, snap_grid, k_factors, prev_factors,
+            is_final=(k == n_levels - 1), prev_grid=prev_grid, grid=(cols, rows),
         )
         out = assigned.groupBy(*STITCH_KEY).applyInPandas(kernel, RING_SCHEMA).persist()
         level_rings.append(out.where(~F.col("beacon")))
@@ -373,6 +389,12 @@ def stitched_polygonize(
     # cell join, hole aggregation all re-consume it) — persist it in
     # every mode or the whole level pipeline recomputes per consumer
     rings = rings.persist()
+    if _os.environ.get("SPARK_GRAFT_PROFILE"):
+        # force the whole lazy level chain here so the phase split is
+        # levels+trace vs assembly (rings is persisted — the count the
+        # auto branch runs anyway just moves into this phase)
+        n_r = rings.count()
+        _t = _prof(f"level/levels+trace (rings={n_r})", _t)
     if assembly == "auto":
         # r5: large ring sets take the per-tile split assembly (one
         # coords shuffle + narrow residue; operators/assembly.py).
@@ -386,15 +408,18 @@ def stitched_polygonize(
             else "split"
         )
     if assembly == "local":
-        return _assemble_rings_local(rings, drop_collapsed=drop_collapsed)
-    if assembly == "split":
+        out = _assemble_rings_local(rings, drop_collapsed=drop_collapsed)
+    elif assembly == "split":
         from .assembly import assemble_rings_split
 
-        return assemble_rings_split(
+        out = assemble_rings_split(
             rings, x0, y0, float(tile_size), drop_collapsed=drop_collapsed,
             rings_cached=True,  # persisted above
         )
-    return assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)
+    else:
+        out = assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)
+    _prof(f"level/assembly_call ({assembly})", _t)
+    return out
 
 
 def _assemble_rings_local(rings: DataFrame, drop_collapsed: bool) -> DataFrame:
@@ -482,14 +507,36 @@ def _clip_segments_to_region(x1, y1, x2, y2, boxes):
     return bx + t0 * ex, by + t0 * ey, bx + t1 * ex, by + t1 * ey
 
 
-def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_factors=None):
+def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_factors=None,
+                      is_final=False, prev_grid=None, grid=None):
     """Per-(sub-)tile trace kernel. ``factors``: this level's hot-tile
     split map {(tile_i, tile_j): f} — closed over so EVERY tracer
     derives the same owner sub-window for a given ring (3c).
     ``prev_factors``: level k-1's map, for the minimal-level skip: a
     ring that already FIT its owner's window at k-1 was emitted there
     (that owner is provably active while the ring is unemitted — 3b),
-    so re-tracing levels don't re-emit it."""
+    so re-tracing levels don't re-emit it — but ONLY if that owner
+    tile exists in level k-1's clamped grid (``prev_grid`` =
+    (cols, rows)): input outside the declared bbox clamps into edge
+    tiles, so an out-of-grid owner can fit numerically yet was never
+    processed, and skipping on it silently drops the ring.
+
+    ``is_final``: the top level is ONE group whose conceptual window
+    is the whole plane — it owns and emits every remaining
+    globally-correct ring instead of testing against the bbox-sized
+    window. Without this, any ring whose bbox or centroid falls
+    outside the declared bbox (stale bbox metadata, segments
+    overhanging the extent) beacons into the void and is silently
+    lost — found by the sparse-60k engine A/B, where segments extend
+    up to 25 units past the declared bbox and the level engine
+    dropped 249 of 195,518 polygons.
+
+    ``grid``: this level's clamped grid dims (cols, rows). Edge-tile
+    CORES extend unbounded outward so the cores partition the whole
+    plane, not just the bbox — a vertex outside the bbox must belong
+    to SOME core or its linework is never tight-beaconed and the
+    pruned escalation clips it away (the −6 residue of the same
+    sparse-60k find)."""
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tile_i, tile_j, f, sub_i, sub_j = (int(v) for v in key)
@@ -530,7 +577,13 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
                 )
         # prune only inside-window dangle tips (see graph.prune_dangles:
         # outside-tip stubs must survive so affected rings escape the
-        # window and escalate instead of tracing spurious hulls)
+        # window and escalate instead of tracing spurious hulls). The
+        # FINAL level has no outside: prune every dangle, exactly like
+        # the single-group path — an unpruned out-of-window stub there
+        # would spike a real ring into a hash-different variant
+        prune_win = (
+            (-np.inf, -np.inf, np.inf, np.inf) if is_final else win
+        )
         rxs, rys = trace_rings(
             sx1,
             sy1,
@@ -538,7 +591,7 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
             sy2,
             node_input=True,
             snap_grid=snap_grid,
-            prune_window=win,
+            prune_window=prune_win,
         )
         # fully vectorized post-trace pass (no per-ring Python): the
         # canonical rotation happens BEFORE any accumulation, so every
@@ -549,6 +602,13 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
         n = area.size
         if n == 0:
             inwin = np.zeros(0, dtype=bool)
+        elif is_final:
+            # single top-level group: the input is complete (tile
+            # ranges clamp everything into the grid), so every trace
+            # is globally correct ("full") or region-validated
+            # ("pruned") — no window test, and no beacons to emit
+            # (there is no next level)
+            inwin = np.ones(n, dtype=bool)
         else:
             inwin = (bx1 >= win[0]) & (by1 >= win[1]) & (bx2 <= win[2]) & (by2 <= win[3])
         # RAW escape: any trace polluted by the window edge (wrong
@@ -570,12 +630,21 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
         # beaconing — escalation regions hug the unresolved linework
         # instead of blanketing every tile at every level.
         if n:
-            vin = (
-                (xr >= core_x0)
-                & (xr < core_x0 + side)
-                & (yr >= core_y0)
-                & (yr < core_y0 + side)
+            # edge-of-grid cores are unbounded outward (factory
+            # docstring): out-of-bbox vertices clamp into them
+            cx_lo = -np.inf if (grid is not None and tile_i == 0 and sub_i == 0) else core_x0
+            cx_hi = (
+                np.inf
+                if (grid is not None and tile_i == grid[0] - 1 and sub_i == f - 1)
+                else core_x0 + side
             )
+            cy_lo = -np.inf if (grid is not None and tile_j == 0 and sub_j == 0) else core_y0
+            cy_hi = (
+                np.inf
+                if (grid is not None and tile_j == grid[1] - 1 and sub_j == f - 1)
+                else core_y0 + side
+            )
+            vin = (xr >= cx_lo) & (xr < cx_hi) & (yr >= cy_lo) & (yr < cy_hi)
             ring_core = np.logical_or.reduceat(vin, off)
             idx = np.arange(xr.size)
             ring_end = off + L - 1
@@ -676,6 +745,20 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
             return (oti, otj, f_arr, osi, osj), fits
 
         owner, fits_owner = owner_fit(ts_py, factors)
+        if is_final:
+            # the single top group owns everything that remains (see
+            # factory docstring) — emission is gated only by validity,
+            # degeneracy, and the minimal-level skip below
+            fits_owner = np.ones(n, dtype=bool)
+            owner_ok = np.ones(n, dtype=bool)
+        else:
+            owner_ok = (
+                (owner[0] == tile_i)
+                & (owner[1] == tile_j)
+                & (owner[2] == f)
+                & (owner[3] == sub_i)
+                & (owner[4] == sub_j)
+            )
         # type-b beacons: COMPLETE (and region-valid) rings that don't
         # fit their owner's (sub-)window — per-ring rows with the full
         # ring bbox. Escaped or region-invalid cycles beacon through
@@ -683,17 +766,20 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
         is_beacon = valid & inwin & ~degen & ~fits_owner
         emit = valid & inwin & ~degen & fits_owner
         if prev_factors is not None:
-            _, fits_prev = owner_fit(ts_py / 2.0, prev_factors)
+            prev_owner, fits_prev = owner_fit(ts_py / 2.0, prev_factors)
+            if prev_grid is not None:
+                # a numerically-fitting owner OUTSIDE level k-1's
+                # clamped grid was never processed — don't skip on it
+                fits_prev &= (
+                    (prev_owner[0] >= 0)
+                    & (prev_owner[0] < prev_grid[0])
+                    & (prev_owner[1] >= 0)
+                    & (prev_owner[1] < prev_grid[1])
+                )
             # already emitted at its minimal fitting level — don't ship
             # duplicates through Arrow + shuffle
             emit &= ~fits_prev
-        emit &= (
-            (owner[0] == tile_i)
-            & (owner[1] == tile_j)
-            & (owner[2] == f)
-            & (owner[3] == sub_i)
-            & (owner[4] == sub_j)
-        )
+        emit &= owner_ok
 
         em = np.flatnonzero(emit)
         bc = np.flatnonzero(is_beacon)

@@ -139,7 +139,14 @@ def main() -> None:
                 w = round(time.time() - t0, 2)
                 if want is not None:
                     assert n == want, (wname, ename, n)
-                prev = counts.setdefault(wname, n)
+                # cross-engine equality holds among the EXACT stitched
+                # engines everywhere; tiled participates only where the
+                # fixture is pinned (grids) — on sparse60k its input
+                # overhangs the declared bbox, which tiled documents as
+                # dropped (bounded-window contract) and stitched must
+                # recover (test_stitched_exact_when_input_overhangs_bbox)
+                ck = (wname, "tiled" if (ename == "tiled" and want is None) else "exact")
+                prev = counts.setdefault(ck, n)
                 assert prev == n, (wname, ename, n, prev)
                 res.setdefault(wname, {}).setdefault(ename, []).append(w)
                 print(f"r{rnd} {wname} {ename} {w}s probe~{p}", flush=True)
@@ -149,7 +156,7 @@ def main() -> None:
             w: {e: min(v) for e, v in d.items()} for w, d in res.items()
         },
         "results_all": res,
-        "counts": counts,
+        "counts": {f"{w}/{e}": c for (w, e), c in counts.items()},
         "probe_last": probe(),
     }
     with open(out_path, "w") as f:

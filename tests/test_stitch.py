@@ -153,3 +153,38 @@ def test_stitched_dangle_only_input(spark):
             df, tile_size=2.0, buffer=1.0, bbox=(0.0, 0.0, 6.0, 6.0), assembly=assembly
         ).collect()
         assert got == []
+
+
+def test_stitched_exact_when_input_overhangs_bbox(spark):
+    """Segments extending past the DECLARED bbox (stale bbox metadata,
+    the production hazard at catalog scale) — every stitched engine
+    must still match the global single-group result exactly. Pre-r5
+    the level engine silently dropped every polygon whose centroid or
+    bbox fell outside the declared bbox: out-of-grid owner tiles were
+    clamped away, the top-level window only covered bbox+buffer, and
+    segments wholly outside the bbox belonged to no tile core so the
+    pruned escalation clipped their linework (sparse-60k A/B: 249 of
+    195,518 polygons missing, in both escalation modes)."""
+    rng = np.random.default_rng(7)
+    nl = 3000
+    pts = rng.uniform(0, 200.0, size=(nl, 2))
+    ang = rng.uniform(0, 2 * np.pi, nl)
+    ln = rng.uniform(5, 25, nl)
+    xs = [[p[0], p[0] + l * np.cos(a)] for p, a, l in zip(pts, ang, ln)]
+    ys = [[p[1], p[1] + l * np.sin(a)] for p, a, l in zip(pts, ang, ln)]
+    df = lines_to_df(spark, xs, ys)
+    bbox = (0.0, 0.0, 200.0, 200.0)  # does NOT cover the overhang
+    want = polygonize(df, node_input=True, drop_collapsed=True).collect()
+    # the fixture must actually exercise the hazard
+    assert any(
+        r["cx"] < 0 or r["cy"] < 0 or r["cx"] > 200 or r["cy"] > 200 for r in want
+    )
+    for kwargs in (
+        {"strategy": "level", "escalation": "pruned"},
+        {"strategy": "level", "escalation": "full"},
+        {"strategy": "chain"},
+    ):
+        got = stitched_polygonize(
+            df, tile_size=20.0, buffer=1.5, bbox=bbox, drop_collapsed=True, **kwargs
+        ).collect()
+        assert keyset(got) == keyset(want), kwargs
