@@ -790,6 +790,8 @@ def _presplit_long_segments(
     x1g: float,
     y1g: float,
     snap_grid: float,
+    n_segments: int | None = None,
+    driver_gate: int = 4096,
 ) -> DataFrame:
     """One DISTRIBUTED round of snap-round noding (snap → find_splits →
     apply — exactly round 1 of ``node_segments`` on the same snapped,
@@ -808,7 +810,46 @@ def _presplit_long_segments(
     intersection point (ε = 2·snap_grid boundary margin), and the
     split for a pair is pair-deterministic, so extra co-presences only
     produce duplicates (dropped). Cost: two narrow shuffles of segment
-    rows; triggered only when max segment length > tile_size."""
+    rows; triggered only when max segment length > tile_size.
+
+    Driver fast path (r5): when the INPUT is tiny (``n_segments`` ≤
+    ``driver_gate``, e.g. a few thousand full-extent construction
+    lines — the reference's lattice benches are 802–1602 segments),
+    the distributed replica's ~6 stage waves are pure scheduling
+    latency (~2 s measured at grid-400 with warm workers for ~50 ms
+    of numpy). Run round 1 VERBATIM on the driver instead — same
+    snap → normalize+dedup → find_splits → _apply_splits kernels as
+    ``node_segments``, global, so bit-exactness is by definition
+    rather than by the tile-union argument — and parallelize the
+    split output (bounded by the split count the distributed path
+    would also materialize). Worst-case driver work is gate² pair
+    candidates (vectorized, grid-binned); 4096 keeps that trivial."""
+    if n_segments is not None and n_segments <= driver_gate:
+        from ..kernels.noding import (
+            _apply_splits,
+            _normalize_dedup,
+            find_splits,
+            snap as _snap,
+        )
+
+        pdf = segments.select("x1", "y1", "x2", "y2").toPandas()
+        x1 = _snap(pdf["x1"].to_numpy(np.float64), snap_grid)
+        y1 = _snap(pdf["y1"].to_numpy(np.float64), snap_grid)
+        x2 = _snap(pdf["x2"].to_numpy(np.float64), snap_grid)
+        y2 = _snap(pdf["y2"].to_numpy(np.float64), snap_grid)
+        keep = ~((x1 == x2) & (y1 == y2))
+        x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+        x1, y1, x2, y2 = _normalize_dedup(x1, y1, x2, y2)
+        si, px, py = find_splits(x1, y1, x2, y2, snap_grid)
+        if si.size:
+            x1, y1, x2, y2 = _apply_splits(x1, y1, x2, y2, si, px, py)
+        out = segments.sparkSession.createDataFrame(
+            pd.DataFrame({"x1": x1, "y1": y1, "x2": x2, "y2": y2}), SEG_SCHEMA
+        )
+        # stats are free on the driver — hand them back so the caller
+        # skips its post-split agg job entirely
+        l_new = float(np.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2).max()) if x1.size else 0.0
+        return out, (l_new, int(x1.size)), None
     eps = 2.0 * max(snap_grid, 1e-300)
     cols = max(int(np.ceil((x1g - x0) / tile_size)), 1)
     rows = max(int(np.ceil((y1g - y0) / tile_size)), 1)
@@ -917,7 +958,10 @@ def _presplit_long_segments(
                 nx1, ny1, nx2, ny2 = x1, y1, x2, y2
             yield pd.DataFrame({"x1": nx1, "y1": ny1, "x2": nx2, "y2": ny2})
 
-    return joined.mapInPandas(apply_kernel, SEG_SCHEMA)
+    # seg_keyed rides back so the caller can drop its cache once the
+    # split output is materialized (it feeds both the tile groups and
+    # the split join; nothing reads it after the apply)
+    return joined.mapInPandas(apply_kernel, SEG_SCHEMA), None, seg_keyed
 
 
 def chain_stitched_polygonize(
@@ -980,17 +1024,26 @@ def chain_stitched_polygonize(
         # below ~32 extra windows the two pre-split shuffles cost more
         # than the redundancy they remove (measured: grid-100/tile-25
         # regressed ~0.3 s, grid-400/tile-25 improved ~2.4 s).
-        segments = _presplit_long_segments(
-            segments, tile_size, x0, y0, x1g, y1g, snap_grid
-        ).persist()
+        segments, _split_stats, _aux_cache = _presplit_long_segments(
+            segments, tile_size, x0, y0, x1g, y1g, snap_grid,
+            n_segments=n_segments,
+        )
+        segments = segments.persist()
         _to_unpersist.append(segments)
-        _st = segments.agg(
-            F.max(seg_len).alias("l"), F.count("*").alias("n")
-        ).collect()[0]
-        l_max = _st["l"] or 0.0
-        n_segments = int(_st["n"])
-        # the stats job above materialized the split set; the raw
-        # segment cache is no longer read by anything downstream
+        if _aux_cache is not None:
+            _to_unpersist.append(_aux_cache)
+        if _split_stats is not None:
+            # driver fast path: stats came back with the frame — no
+            # post-split agg job (the persist materializes lazily on
+            # the trace's first touch)
+            l_max, n_segments = _split_stats
+        else:
+            _st = segments.agg(
+                F.max(seg_len).alias("l"), F.count("*").alias("n")
+            ).collect()[0]
+            l_max = _st["l"] or 0.0
+            n_segments = int(_st["n"])
+        # the raw segment cache is no longer read by anything downstream
         _to_unpersist.pop(0).unpersist()
         _t = _prof("presplit+stats", _t)
     buffer_eff = max(float(buffer), float(l_max) * (1 + 1e-9) + 4 * snap_grid)

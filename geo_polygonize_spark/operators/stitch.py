@@ -114,16 +114,20 @@ def stitched_polygonize(
 ) -> DataFrame:
     """Exact distributed polygonize with no maximum polygon size.
 
-    ``strategy``: "auto" (default, r5 — picks between the two exact
-    engines on the cheap segment stats both need anyway: "level" when
-    max segment length forces the chain engine's pre-split round
-    ((l_max/tile)² ≥ 32, e.g. full-extent lattice lines — the A/B
-    winner there, BENCH.md r5), "chain" otherwise (short-segment dense
-    linework, where one trace pass beats level re-escalation — e.g.
-    the sparse 60k probe, chain 7.5 s vs level 9.7 s interleaved)),
-    "level" (this body — beacon-pruned level escalation), or "chain"
-    (``chain_stitch.chain_stitched_polygonize`` — one trace pass +
-    boundary-chain merge). All produce identical output to the
+    ``strategy``: "auto" (default) resolves to "chain" — the r5
+    COLD-plan engine A/B (cold_ab_r5.json; clearCache before every
+    run, counts oracle-pinned) has chain beating the level engine on
+    every calibration workload once the plan-cache artifact is removed
+    (grid-400 6.0 vs 8.3 s, grid-800 10.6 vs 17.1 s, sparse-60k 6.8
+    vs 21.6–30.5 s, random-200 1.6 vs 3.5–5.0 s; the earlier
+    "level wins lattices" rule was measured on warm interleaved runs
+    that were reading persisted intermediates back from the
+    CacheManager, BENCH.md r5). "level" (this body — beacon-pruned
+    level escalation) stays available explicitly; its escalation
+    design remains the boundary-volume argument for inputs whose
+    unresolved linework decays geometrically. "chain"
+    (``chain_stitch.chain_stitched_polygonize``) — one trace pass +
+    boundary-chain merge. All produce identical output to the
     single-group ``polygonize``.
 
     Output matches the single-group ``polygonize`` exactly (same ring
@@ -155,25 +159,9 @@ def stitched_polygonize(
     _t = _time.time()
     _seg_stats = None
     if strategy == "auto":
-        # one narrow aggregate over the segment set BOTH engines start
-        # from decides the engine; the frame and stats are handed to
-        # whichever wins, so auto costs no extra job on the chain path
-        # (it needs exactly these stats) and one cheap agg on level
-        segments = _segments if _segments is not None else segmentize_df(
-            lines_df
-        ).persist()
-        _segments = segments
-        seg_len = F.sqrt(
-            (F.col("x2") - F.col("x1")) ** 2 + (F.col("y2") - F.col("y1")) ** 2
-        )
-        _st = segments.agg(
-            F.max(seg_len).alias("l"), F.count("*").alias("n")
-        ).collect()[0]
-        _seg_stats = (float(_st["l"] or 0.0), int(_st["n"]))
-        strategy = (
-            "level" if (_seg_stats[0] / float(tile_size)) ** 2 >= 32.0 else "chain"
-        )
-        _t = _prof("level/strategy_agg", _t)
+        # chain wins every cold calibration workload (docstring) and
+        # computes the segment stats itself — auto is free
+        strategy = "chain"
     if strategy == "chain":
         from .chain_stitch import chain_stitched_polygonize
 
