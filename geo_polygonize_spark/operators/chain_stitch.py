@@ -70,7 +70,12 @@ limitation vs stitch.py's 3c).
 
 from __future__ import annotations
 
+import atexit
 import collections
+import os
+import shutil
+import tempfile
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -132,6 +137,20 @@ CHAIN_FUSED_SCHEMA = T.StructType(
         T.StructField("cand_area", T.DoubleType()),
     ]
 )
+
+
+_PRESPLIT_TMPDIR: str | None = None
+
+
+def _presplit_tmpdir() -> str:
+    """Process-scoped temp dir for driver pre-split parquet handoffs,
+    removed at interpreter exit (the files back lazy DataFrames, so
+    they must outlive the call that wrote them)."""
+    global _PRESPLIT_TMPDIR
+    if _PRESPLIT_TMPDIR is None:
+        _PRESPLIT_TMPDIR = tempfile.mkdtemp(prefix="gp_presplit_")
+        atexit.register(shutil.rmtree, _PRESPLIT_TMPDIR, ignore_errors=True)
+    return _PRESPLIT_TMPDIR
 
 
 def _prof(label: str, t0: float) -> float:
@@ -843,9 +862,23 @@ def _presplit_long_segments(
         si, px, py = find_splits(x1, y1, x2, y2, snap_grid)
         if si.size:
             x1, y1, x2, y2 = _apply_splits(x1, y1, x2, y2, si, px, py)
-        out = segments.sparkSession.createDataFrame(
-            pd.DataFrame({"x1": x1, "y1": y1, "x2": x2, "y2": y2}), SEG_SCHEMA
+        # hand the split set back through a session temp parquet: a few
+        # thousand full-extent lines can split into millions of pieces,
+        # and a parallel parquet scan ships them ~5× cheaper than
+        # createDataFrame's driver-serialized local relation (measured
+        # at 1.28M rows: 1.1 s write+scan vs 5.9 s construct+scan)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(
+            _presplit_tmpdir(), f"presplit_{uuid.uuid4().hex}.parquet"
         )
+        pq.write_table(
+            pa.table({"x1": x1, "y1": y1, "x2": x2, "y2": y2}),
+            path,
+            row_group_size=65536,  # enough row groups to split the scan
+        )
+        out = segments.sparkSession.read.parquet(path)
         # stats are free on the driver — hand them back so the caller
         # skips its post-split agg job entirely
         l_new = float(np.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2).max()) if x1.size else 0.0
