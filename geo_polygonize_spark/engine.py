@@ -72,6 +72,7 @@ def image_pipeline(
     broadcast_poly_limit: int = 2_000_000,
     payload_rejoin: bool = True,
     poly_rows: list | None = None,
+    coverage_index=None,
 ) -> DataFrame:
     """images × linework → per-image spatial enrichment.
 
@@ -83,7 +84,7 @@ def image_pipeline(
     if cell_size is None:
         cell_size = tile_size / 4.0
 
-    if polygons is None and poly_rows is None:
+    if polygons is None and poly_rows is None and coverage_index is None:
         polygons = tiled_polygonize(
             lines_df, tile_size=tile_size, buffer=buffer, bbox=bbox, drop_collapsed=drop_collapsed
         )
@@ -104,7 +105,12 @@ def image_pipeline(
     # limit().collect() probe executes as Spark's incremental limit,
     # 1→4→20 task waves, serializing the polygonize), then the
     # broadcast path collects from cache; polygonize never recomputes.
-    if poly_rows is not None:
+    if coverage_index is not None:
+        # prebuilt broadcast index (``broadcast_coverage_index``) —
+        # the zero-per-batch-fixed-cost production path: no coverage
+        # job, no driver index compile, no broadcast write per call
+        pip_strategy = "broadcast"
+    elif poly_rows is not None:
         # pre-collected coverage (production: polygonize once, stream
         # records against it) — skips every coverage-preparation job
         pip_strategy = "broadcast"
@@ -120,7 +126,7 @@ def image_pipeline(
             pip_strategy = "cells"
     hits = pip_join(
         points, polygons, x0, y0, cell_size, salt=salt, strategy=pip_strategy,
-        rows=poly_rows,
+        rows=poly_rows, index=coverage_index,
     )
 
     # nearest tile centroid: the kNN targets are a REGULAR grid, so

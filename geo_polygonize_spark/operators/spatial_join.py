@@ -134,11 +134,27 @@ def _pip_refine(
     return pd.Series(inside)
 
 
+def broadcast_coverage_index(spark, polygons: DataFrame | None = None, rows: list | None = None):
+    """Compile a coverage into a broadcast CoverageIndex ONCE, for
+    reuse across many ``pip_join(..., index=...)`` /
+    ``image_pipeline(..., coverage_index=...)`` calls. Production
+    shape: polygonize once, stream micro-batches against it — without
+    this, every batch job re-pays the driver-side index compile +
+    broadcast write (~1.4 s fixed at a 160k-polygon coverage, the
+    dominant cost of a small batch)."""
+    from ..kernels.coverage import CoverageIndex
+
+    if rows is None:
+        rows = polygons.toPandas().to_dict("records")
+    return spark.sparkContext.broadcast(CoverageIndex(rows))
+
+
 def pip_join_broadcast(
     points: DataFrame,
     polygons: DataFrame,
     point_id: str = "image_id",
     rows: list | None = None,
+    index=None,
 ) -> DataFrame:
     """Broadcast-side PIP join: the polygon coverage is collected once,
     compiled into a numpy CoverageIndex (cell CSR + flat rings —
@@ -147,18 +163,25 @@ def pip_join_broadcast(
     batch. ZERO shuffles and no ring arrays on the wire — the right
     plan whenever the coverage fits in executor memory (the shuffle
     cell join below is the fallback for coverages that don't).
+
+    ``index``: a prebuilt broadcast from ``broadcast_coverage_index``
+    — skips the per-call compile+broadcast entirely.
     """
     from ..kernels.coverage import CoverageIndex
 
-    if rows is None:
-        rows = [r.asDict() for r in polygons.collect()]
-    # ship via SparkContext.broadcast: the serialized index can be tens
-    # of MB, and a plain closure capture would ride inside the task
-    # command — re-sent by the driver FOR EVERY TASK (measured: a 34MB
-    # index × 64 tasks made the whole stage driver-transfer-bound and
-    # flat across core counts). A broadcast transfers once per executor
-    # and the closure only carries the handle.
-    bc = points.sparkSession.sparkContext.broadcast(CoverageIndex(rows))
+    if index is not None:
+        bc = index
+    else:
+        if rows is None:
+            rows = [r.asDict() for r in polygons.collect()]
+        # ship via SparkContext.broadcast: the serialized index can be
+        # tens of MB, and a plain closure capture would ride inside the
+        # task command — re-sent by the driver FOR EVERY TASK
+        # (measured: a 34MB index × 64 tasks made the whole stage
+        # driver-transfer-bound and flat across core counts). A
+        # broadcast transfers once per executor and the closure only
+        # carries the handle.
+        bc = points.sparkSession.sparkContext.broadcast(CoverageIndex(rows))
 
     schema = T.StructType(
         [
@@ -226,6 +249,7 @@ def pip_join(
     salt: int | None = None,
     strategy: str = "cells",
     rows: list | None = None,
+    index=None,
     max_probes_per_group: int = 200_000,
 ) -> DataFrame:
     """points(point_id, x, y) × polygons → one row per point with its
@@ -244,7 +268,9 @@ def pip_join(
     collect_list row/task.
     """
     if strategy == "broadcast":
-        return pip_join_broadcast(points, polygons, point_id=point_id, rows=rows)
+        return pip_join_broadcast(
+            points, polygons, point_id=point_id, rows=rows, index=index
+        )
     # NARROW cell join: only (pkey, bbox, area, tile ids) replicate per
     # covered cell — ring arrays never enter it. Candidates then group
     # per polygon (salted so one hot polygon cannot own a single task),

@@ -149,6 +149,16 @@ class TestSpatialJoin:
         b = sorted(key(r) for r in pip_join(
             pts, polys, 0.0, 0.0, 1.0, strategy="broadcast").collect())
         assert a == b and len(a) > 0
+        # prebuilt-index path (r5, the amortized-per-batch production
+        # shape): identical rows, polygons frame not even consulted
+        from geo_polygonize_spark.operators.spatial_join import (
+            broadcast_coverage_index,
+        )
+
+        idx = broadcast_coverage_index(spark, polys)
+        c = sorted(key(r) for r in pip_join(
+            pts, None, 0.0, 0.0, 1.0, strategy="broadcast", index=idx).collect())
+        assert a == c
 
     def test_knn_vs_bruteforce(self, spark):
         bbox = (0.0, 0.0, 10.0, 10.0)
