@@ -226,6 +226,10 @@ def main():
         "host_probes": probes,
     }
     print(json.dumps(summary, indent=2))
+    # always append the raw summary — the history of attempts (and the
+    # probe brackets that gated them) is part of the evidence
+    with open(os.path.join(REPO, "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(summary) + "\n")
 
     if args.write:
         md = f"""# BENCH — scaling evidence (local[{lo['cpus']}] vs local[{hi['cpus']}])
@@ -268,10 +272,15 @@ Local-mode caveats: one shared memory subsystem (a real cluster adds
 bandwidth per node, this box does not), and wall times under ~5 s are
 dominated by fixed per-stage latency. Reproduce:
 `python scripts/scaling_bench.py --write`.
+
+Host probe brackets for this run (s/pass, ~0.33 healthy):
+{probes}
 """
-        with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        # a dedicated file — BENCH.md carries the narrative history and
+        # must never be clobbered by a single scaling run
+        with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
             f.write(md)
-        print("wrote BENCH.md")
+        print("wrote BENCH_SCALING.md")
 
 
 if __name__ == "__main__":
