@@ -388,18 +388,24 @@ def assemble_rings_split(
         "is_local", is_local
     )
 
-    # ONE job both gates and fetches the global residue: the row gate
-    # rides on limit(), the coords gate on a driver-side sum of the
-    # (bounded) collected rows — no separate counting pass
+    # gate first with one tiny aggregate over the cached ring set, then
+    # fetch the residue through one PARALLEL Arrow job — Spark's
+    # incremental limit().collect() runs 1→4→20-task waves and converts
+    # ring arrays row-by-row through py4j (measured ~0.5 s on a 6k-row
+    # lattice residue vs ~0.1 s for agg+toPandas)
     glob = tagged.where(~F.col("is_local")).select(*_RING_COLS)
-    grows = [r.asDict() for r in glob.limit(global_rows_gate + 1).collect()]
+    gstats = glob.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("xs")), F.lit(0)).alias("c"),
+    ).collect()[0]
     if (
-        len(grows) > global_rows_gate
-        or sum(len(r["xs"]) for r in grows) > global_coords_gate
+        int(gstats["n"]) > global_rows_gate
+        or int(gstats["c"]) > global_coords_gate
     ):
         # pathological tiling (rings >> tile): the split brings nothing
         # (rings is cached on either branch of ``rings_cached``)
         return assemble_rings_distributed(rings, drop_collapsed)
+    grows = glob.toPandas().to_dict("records") if int(gstats["n"]) else []
     gshells, gvisitors = _promote_rows(grows)
 
     payload = {
@@ -454,26 +460,25 @@ def assemble_rings_split(
     if gvisitors:
         vrows = []
         for r in gvisitors:
-            touch = _touching_tiles(r["cx"], r["cy"], x0, y0, ts)
+            touch = _touching_tiles(float(r["cx"]), float(r["cy"]), x0, y0, ts)
             for (a, b) in touch:
                 vrows.append(
-                    (a, b, 1, r["rid"], r["xs"], r["ys"], r["area"],
-                     r["bx1"], r["by1"], r["bx2"], r["by2"], r["cx"], r["cy"])
+                    (a, b, 1, int(r["rid"]), np.asarray(r["xs"], np.float64),
+                     np.asarray(r["ys"], np.float64), float(r["area"]),
+                     float(r["bx1"]), float(r["by1"]), float(r["bx2"]),
+                     float(r["by2"]), float(r["cx"]), float(r["cy"]))
                 )
+        # pandas + Arrow path: rows carry coordinate arrays (which may
+        # be numpy from the Arrow residue collect above)
+        vcols = ["tile_i", "tile_j", "role", "rid", "xs", "ys",
+                 "area", "bx1", "by1", "bx2", "by2", "cx", "cy"]
+        vpdf = pd.DataFrame(dict(zip(vcols, map(list, zip(*vrows)))))
         vdf = spark.createDataFrame(
-            vrows,
-            T.StructType(
-                [
-                    T.StructField("tile_i", T.IntegerType()),
-                    T.StructField("tile_j", T.IntegerType()),
-                    T.StructField("role", T.IntegerType()),
-                    T.StructField("rid", T.LongType()),
-                    T.StructField("xs", T.ArrayType(T.DoubleType())),
-                    T.StructField("ys", T.ArrayType(T.DoubleType())),
-                ]
-                + [T.StructField(c, T.DoubleType()) for c in
-                   ("area", "bx1", "by1", "bx2", "by2", "cx", "cy")]
-            ),
+            vpdf,
+            "tile_i int, tile_j int, role int, rid long, "
+            "xs array<double>, ys array<double>, area double, "
+            "bx1 double, by1 double, bx2 double, by2 double, "
+            "cx double, cy double",
         )
         kernel_input = kernel_input.unionByName(vdf)
 
@@ -481,7 +486,9 @@ def assemble_rings_split(
     out = (
         kernel_input.groupBy("tile_i", "tile_j")
         .applyInPandas(kernel, SPLIT_SCHEMA)
-        .localCheckpoint(eager=True)  # consumed by 3-4 narrow readers
+        # consumed by 3-4 narrow readers; lazy — materializes inside
+        # the finish's first job rather than as its own stage wave
+        .localCheckpoint(eager=False)
     )
 
     release = (lambda: rings.unpersist()) if own_cache else None
@@ -1576,6 +1583,8 @@ def assemble_rings_fused(
     global_rows_gate: int = 100_000,
     global_coords_gate: int = 10_000_000,
     release=None,
+    merged_rows_bound: int | None = None,
+    merged_coords_bound: int | None = None,
 ) -> DataFrame:
     """Chain-engine assembly with ZERO extra shuffles of ring data:
     phase 2 maps over the cached trace output (header comment).
@@ -1584,7 +1593,15 @@ def assemble_rings_fused(
     local rings, already degenerate-filtered). ``merged``: chain-merge
     output frame (RING_SCHEMA-ish), or None when no chains existed.
     ``release``: caller callback freeing the trace cache — invoked once
-    the returned plan no longer references it."""
+    the returned plan no longer references it.
+
+    ``merged_rows_bound`` / ``merged_coords_bound``: caller-known upper
+    bounds on the merged residue (the chain engine gets both free from
+    its kind-count job: rows ≤ n_chains, coords ≤ chain coords +
+    closing vertices). When both fit the gates, the residue collects
+    through ONE parallel Arrow job (``toPandas``) instead of Spark's
+    incremental ``limit().collect()`` — which executes 1→4→20-task
+    waves and converts ring arrays row-by-row through py4j."""
     from .stitch import assemble_rings_distributed
 
     import os as _os
@@ -1612,10 +1629,20 @@ def assemble_rings_fused(
             .withColumn("rid", F.xxhash64("xs", "ys"))
             .select(*_RING_COLS)
         )
-        grows = [
-            r.asDict()
-            for r in merged_rid.limit(global_rows_gate + 1).collect()
-        ]
+        if (
+            merged_rows_bound is not None
+            and merged_coords_bound is not None
+            and merged_rows_bound <= global_rows_gate
+            and merged_coords_bound <= global_coords_gate
+        ):
+            # bounds certify the gates up front: one parallel Arrow
+            # collect, no incremental limit waves
+            grows = merged_rid.toPandas().to_dict("records")
+        else:
+            grows = [
+                r.asDict()
+                for r in merged_rid.limit(global_rows_gate + 1).collect()
+            ]
         if (
             len(grows) > global_rows_gate
             or sum(len(r["xs"]) for r in grows) > global_coords_gate
@@ -1723,8 +1750,11 @@ def assemble_rings_fused(
     )
 
     kernel = _make_fused_partition_kernel(x0, y0, ts, cols, rows, fmap, gbc, vbc)
-    out = ringrows.mapInPandas(kernel, SPLIT_SCHEMA).localCheckpoint(eager=True)
-    _mark("phase2_kernel_ckpt")
+    # lazy checkpoint: materializes inside the finish's FIRST job (the
+    # winner aggregate) instead of as its own stage wave — one fewer
+    # full job; lineage still truncates before the caller's release()
+    out = ringrows.mapInPandas(kernel, SPLIT_SCHEMA).localCheckpoint(eager=False)
+    _mark("phase2_plan")  # lazy: kernel wall lands in the finish's first job
 
     # hole-coordinate source: local rings off the trace cache + the
     # (small) merged rows already held on the driver (Arrow path — the

@@ -1210,11 +1210,18 @@ def chain_stitched_polygonize(
     # n_local + n_chains as an upper bound on the final ring count
     # (each chain cycle yields ≤ its chain count in rings) — replacing
     # the two separate full-cache count jobs of the first version.
-    kc = {int(r["kind"]): int(r["n"]) for r in
-          out.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    # coords ride along (free in the same cached scan): the merged
+    # ring set concatenates chain coordinate arrays, so its total
+    # coordinate count is bounded by the chain total + one closing
+    # vertex per ring — letting the fused assembly skip the incremental
+    # limit gate and collect the residue through one parallel Arrow job
+    kc = {int(r["kind"]): (int(r["n"]), int(r["c"] or 0)) for r in
+          out.groupBy("kind").agg(
+              F.count("*").alias("n"), F.sum(F.size("xs")).alias("c")
+          ).collect()}
     _t = _prof("trace+counts", _t)
-    n_chains = kc.get(1, 0)
-    n_rings_upper = kc.get(0, 0) + n_chains
+    n_chains, chain_coords = kc.get(1, (0, 0))
+    n_rings_upper = kc.get(0, (0, 0))[0] + n_chains
     # the counts job materialized the kernel output cache — the segment
     # cache behind it is dead weight from here on
     for df_ in _to_unpersist:
@@ -1277,6 +1284,8 @@ def chain_stitched_polygonize(
         return assemble_rings_fused(
             out, merged, x0, y0, float(tile_size), cols, rows, fmap,
             drop_collapsed=drop_collapsed, release=out.unpersist,
+            merged_rows_bound=n_chains,
+            merged_coords_bound=chain_coords + n_chains,
         )
 
     rings = local_rings if merged is None else local_rings.unionByName(merged)
