@@ -498,6 +498,20 @@ def assemble_rings_split(
     )
 
 
+def _id_filter(spark, df: DataFrame, col: str, ids: list):
+    """``df`` rows whose ``col`` is in ``ids`` — as a literal ``isin``
+    for small lists, else a broadcast semi-join over an Arrow-built id
+    frame (a 10^5-literal ``isin`` costs tens of seconds of pure py4j
+    expression construction — the in-trace assembly experiment's
+    lesson, BENCH.md r5)."""
+    if len(ids) <= 512:
+        return df.where(F.col(col).isin(ids))
+    idf = spark.createDataFrame(
+        pd.DataFrame({col: pd.Series(ids, dtype="int64")}), f"{col} long"
+    )
+    return df.join(F.broadcast(idf), col, "left_semi")
+
+
 def _finish_assignments(
     spark,
     out: DataFrame,
@@ -610,7 +624,7 @@ def _finish_assignments(
         need_holes = [int(r["rid"]) for r, _, _, hn in surviving if hn > 0]
         if need_holes:
             hole_coords = (
-                winners.where(F.col("cand_rid").isin(need_holes))
+                _id_filter(spark, winners, "cand_rid", need_holes)
                 .join(
                     coords_df.select(F.col("rid").alias("h_rid"), "xs", "ys"),
                     "h_rid",
@@ -630,7 +644,7 @@ def _finish_assignments(
 
     # --- patch local-shell winners onto emitted polygons (rare) ------
     if local_win_rids:
-        winners_l = winners.where(F.col("cand_rid").isin(local_win_rids))
+        winners_l = _id_filter(spark, winners, "cand_rid", local_win_rids)
         patch = (
             winners_l.join(
                 coords_df.select(F.col("rid").alias("h_rid"), "xs", "ys"),
