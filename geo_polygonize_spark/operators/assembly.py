@@ -58,9 +58,11 @@ correct; callers pass the engine's claiming grid).
    kernel can't know about late-arriving patches), a narrow filter.
 
 Scale shape: ring coordinates cross exactly ONE shuffle (the group-by
-into tile tasks) in the common path; every later stage moves 32-byte
-rows or survivor-pruned arrays. The global residue is O(tile-boundary
-crossings) with an explicit gate and a lossless fallback.
+into tile tasks) in the common path; every later stage moves narrow
+winner rows (which carry only their own hole's coords) or
+survivor-pruned arrays — the finish never re-reads the caller's ring
+caches. The global residue is O(tile-boundary crossings) with an
+explicit gate and a lossless fallback.
 
 Reference parity: operational semantics are those of
 ``kernels.rings._assemble_core`` (reference polygonizer.rs:124-261) —
@@ -100,6 +102,12 @@ SPLIT_SCHEMA = T.StructType(
         T.StructField("cand_rid", T.LongType()),
         T.StructField("cand_area", T.DoubleType()),
         T.StructField("h_area", T.DoubleType()),
+        # hole coordinates ride ON the winner rows (the kernels hold
+        # them anyway), so the finish never re-reads the caller's ring
+        # cache — merged-visitor rows (fused path) leave them null and
+        # resolve from the driver-side residue
+        T.StructField("h_xs", T.ArrayType(T.DoubleType())),
+        T.StructField("h_ys", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -306,6 +314,8 @@ def _make_split_kernel(x0: float, y0: float, ts: float, gbc):
                         cand_rid=int(best_rid[p]),
                         cand_area=float(best_area[p]),
                         h_area=float(h_area[p]),
+                        h_xs=coords_x[hole_idx[p]],
+                        h_ys=coords_y[hole_idx[p]],
                     )
             elif has_cand[p]:
                 if best_local[p] >= 0:
@@ -317,6 +327,8 @@ def _make_split_kernel(x0: float, y0: float, ts: float, gbc):
                         cand_rid=int(best_rid[p]),
                         cand_area=float(best_area[p]),
                         h_area=float(h_area[p]),
+                        h_xs=coords_x[hole_idx[p]],
+                        h_ys=coords_y[hole_idx[p]],
                     )
             # no candidate, not deferred: unparented hole — vanishes
             # (identical to _assemble_core: never attached anywhere)
@@ -366,9 +378,8 @@ def assemble_rings_split(
 
     ``rings_cached``: pass True when the caller already persisted or
     checkpointed ``rings``; otherwise this function persists it for its
-    own 2-3 consumers and releases it before returning (the rare
-    survivor-coords / patch joins re-anchor on an executor-local
-    checkpoint first, so the returned plan never references the
+    own 2-3 consumers and releases it inside the finish (winner rows
+    carry their hole coords, so the returned plan never references the
     transient cache)."""
     from .stitch import assemble_rings_distributed
 
@@ -492,9 +503,11 @@ def assemble_rings_split(
     )
 
     release = (lambda: rings.unpersist()) if own_cache else None
+    # every K_FINAL/K_PARTIAL row of the split kernel carries its hole
+    # coords (members AND visitors enter the kernel with xs/ys), so no
+    # merged_coord_rows fill is needed
     return _finish_assignments(
-        spark, out, gshells, rings.select("rid", "xs", "ys"),
-        drop_collapsed, release=release,
+        spark, out, gshells, drop_collapsed, release=release,
     )
 
 
@@ -516,41 +529,49 @@ def _finish_assignments(
     spark,
     out: DataFrame,
     gshells: list,
-    coords_df: DataFrame,
     drop_collapsed: bool,
+    merged_coord_rows: list | None = None,
     extra_partials: DataFrame | None = None,
     release=None,
 ) -> DataFrame:
     """Shared narrow finish over a SPLIT_SCHEMA kernel output: resolve
     per-hole winners (finals + min over partial candidate rows), net
-    the global shells, fetch hole coordinates ONLY for polygons that
-    survive, and patch rare local-shell winners onto the emitted
-    polygons via a broadcast join.
+    the global shells, and patch rare local-shell winners onto the
+    emitted polygons via a broadcast join.
 
-    ``coords_df``: (rid, xs, ys) source for hole-coordinate fetches.
-    Before calling ``release`` (which frees whatever caches back
-    ``coords_df``), the needed subset is pruned and re-anchored on an
-    executor-local checkpoint — the returned plan never references the
-    caller's transient caches."""
+    Hole coordinates ride ON the winner rows (h_xs/h_ys, emitted by
+    the kernels, which hold every member/visiting ring's coords), so
+    the finish never re-reads the caller's ring caches — ``release``
+    fires right after the single winner-aggregate job. The one
+    exception is fused-path merged visitors (their coords never enter
+    the kernel): those rows carry null h_xs and resolve from
+    ``merged_coord_rows`` — the (driver-side) global residue rows."""
     polys = out.where(F.col("kind") == K_POLY)
-    finals = out.where(F.col("kind") == K_FINAL).select(
-        "h_rid", "cand_rid", "cand_area", "h_area"
-    )
+    _wcols = ["h_rid", "cand_rid", "cand_area", "h_area", "h_xs", "h_ys"]
+    finals = out.where(F.col("kind") == K_FINAL).select(*_wcols)
     # deferred-min rides in the same plan (an empty K_PARTIAL set costs
     # one empty exchange inside the job — cheaper than a separate
     # existence-check job)
-    partial_src = out.where(F.col("kind") == K_PARTIAL).select(
-        "h_rid", "cand_rid", "cand_area", "h_area"
-    )
+    partial_src = out.where(F.col("kind") == K_PARTIAL).select(*_wcols)
     if extra_partials is not None:
-        partial_src = partial_src.unionByName(extra_partials)
+        # driver-computed merged-vs-merged candidates: no coords cols
+        # (null-filled; resolved from merged_coord_rows like visitors)
+        partial_src = partial_src.unionByName(
+            extra_partials, allowMissingColumns=True
+        )
     deferred = (
         partial_src.groupBy("h_rid")
-        .agg(F.min(F.struct("cand_area", "cand_rid", "h_area")).alias("w"))
+        .agg(
+            F.min(F.struct("cand_area", "cand_rid", "h_area")).alias("w"),
+            # all rows of one h_rid describe the SAME hole ring — any
+            # non-null coords are the coords
+            F.first("h_xs", ignorenulls=True).alias("h_xs"),
+            F.first("h_ys", ignorenulls=True).alias("h_ys"),
+        )
         .select(
             "h_rid", F.col("w.cand_rid").alias("cand_rid"),
             F.col("w.cand_area").alias("cand_area"),
-            F.col("w.h_area").alias("h_area"),
+            F.col("w.h_area").alias("h_area"), "h_xs", "h_ys",
         )
     )
     winners = finals.unionByName(deferred)
@@ -582,19 +603,37 @@ def _finish_assignments(
             continue
         surviving.append((r, prom, net, hn))
 
-    # prune + re-anchor the hole-coordinate source, then free caller
-    # caches: the survivor-coords / patch joins below are LAZY
-    # (consumed by the caller after return)
-    needs_coords_later = bool(local_win_rids) or any(
-        hn > 0 for _, _, _, hn in surviving
-    )
-    if needs_coords_later:
-        ids = winners.select(F.col("h_rid").alias("rid")).distinct()
-        coords_df = coords_df.join(ids, "rid", "left_semi").localCheckpoint(
-            eager=True
-        )
+    # the winner aggregate above materialized ``out``'s checkpoint, and
+    # every later consumer (hole coords, patch, polys) reads from it —
+    # the caller's ring caches are dead weight from here on
     if release is not None:
         release()
+
+    # fill null winner coords (fused-path merged visitors) from the
+    # driver-side residue rows
+    if merged_coord_rows:
+        mcdf = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "h_rid": pd.Series(
+                        [int(r["rid"]) for r in merged_coord_rows], dtype="int64"
+                    ),
+                    "m_xs": pd.Series(
+                        [r["xs"] for r in merged_coord_rows], dtype=object
+                    ),
+                    "m_ys": pd.Series(
+                        [r["ys"] for r in merged_coord_rows], dtype=object
+                    ),
+                }
+            ),
+            "h_rid long, m_xs array<double>, m_ys array<double>",
+        )
+        winners = (
+            winners.join(F.broadcast(mcdf), "h_rid", "left")
+            .withColumn("h_xs", F.coalesce("h_xs", "m_xs"))
+            .withColumn("h_ys", F.coalesce("h_ys", "m_ys"))
+            .drop("m_xs", "m_ys")
+        )
 
     gpolys = None
     if surviving:
@@ -625,14 +664,10 @@ def _finish_assignments(
         if need_holes:
             hole_coords = (
                 _id_filter(spark, winners, "cand_rid", need_holes)
-                .join(
-                    coords_df.select(F.col("rid").alias("h_rid"), "xs", "ys"),
-                    "h_rid",
-                )
                 .groupBy("cand_rid")
                 .agg(
-                    F.collect_list("xs").alias("hole_xs"),
-                    F.collect_list("ys").alias("hole_ys"),
+                    F.collect_list("h_xs").alias("hole_xs"),
+                    F.collect_list("h_ys").alias("hole_ys"),
                 )
                 .withColumnRenamed("cand_rid", "rid")
             )
@@ -646,14 +681,10 @@ def _finish_assignments(
     if local_win_rids:
         winners_l = _id_filter(spark, winners, "cand_rid", local_win_rids)
         patch = (
-            winners_l.join(
-                coords_df.select(F.col("rid").alias("h_rid"), "xs", "ys"),
-                "h_rid",
-            )
-            .groupBy("cand_rid")
+            winners_l.groupBy("cand_rid")
             .agg(
-                F.collect_list("xs").alias("p_xs"),
-                F.collect_list("ys").alias("p_ys"),
+                F.collect_list("h_xs").alias("p_xs"),
+                F.collect_list("h_ys").alias("p_ys"),
                 F.sum("h_area").alias("p_sum"),
                 F.count("*").alias("p_n"),
             )
@@ -974,6 +1005,8 @@ def _make_fused_partition_kernel(x0, y0, ts, cols, rows, fmap, gbc, vbc):
                         cand_rid=int(best_rid[p]),
                         cand_area=float(best_area[p]),
                         h_area=float(h_area[p]),
+                        h_xs=coords_x[ho[p]],
+                        h_ys=coords_y[ho[p]],
                     )
 
             # visitor probes: merged CW holes touching this core test
@@ -1770,25 +1803,12 @@ def assemble_rings_fused(
     out = ringrows.mapInPandas(kernel, SPLIT_SCHEMA).localCheckpoint(eager=False)
     _mark("phase2_plan")  # lazy: kernel wall lands in the finish's first job
 
-    # hole-coordinate source: local rings off the trace cache + the
-    # (small) merged rows already held on the driver (Arrow path — the
-    # residue can be thousands of array rows)
-    coords_df = ringrows.select("rid", "xs", "ys")
-    if grows:
-        mpdf = pd.DataFrame(
-            {
-                "rid": pd.Series([int(r["rid"]) for r in grows], dtype="int64"),
-                "xs": pd.Series([r["xs"] for r in grows], dtype=object),
-                "ys": pd.Series([r["ys"] for r in grows], dtype=object),
-            }
-        )
-        coords_df = coords_df.unionByName(
-            spark.createDataFrame(
-                mpdf, "rid long, xs array<double>, ys array<double>"
-            )
-        )
+    # hole coords: local winners carry theirs on the K_FINAL rows;
+    # merged visitors (K_PARTIAL + extra_partials) resolve from the
+    # driver-side residue rows
     res = _finish_assignments(
-        spark, out, gshells, coords_df, drop_collapsed,
+        spark, out, gshells, drop_collapsed,
+        merged_coord_rows=grows,
         extra_partials=extra_partials, release=release,
     )
     _mark("finish")
