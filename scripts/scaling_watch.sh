@@ -12,7 +12,10 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
         echo "scaling_watch: healthy-window run recorded"
         exit 0
     fi
-    sleep 170
+    # short sleep: the bench's own section probes show healthy windows
+    # can be sub-minute; a 170 s poll missed a 0.257 reading that a
+    # concurrently-running bench caught (BENCH.md r5)
+    sleep 40
 done
 echo "scaling_watch: no healthy window before deadline"
 exit 4
