@@ -250,3 +250,29 @@ class TestSplitProtocol:
         )
         b = canon(assemble_rings_distributed(rings).collect())
         assert a == b
+
+
+class TestIdFilter:
+    def test_large_list_semi_join_equals_isin(self, spark):
+        """_id_filter (r5): above 512 ids the literal isin is replaced
+        by a broadcast semi-join — the results must be identical, and
+        the small-list path must keep using the literal expression."""
+        from geo_polygonize_spark.operators.assembly import _id_filter
+
+        df = spark.range(0, 5000).select(F.col("id").alias("cand_rid"))
+        big = [int(v) for v in range(0, 5000, 3)]  # 1667 ids > 512
+        small = big[:100]
+        got_big = sorted(
+            r["cand_rid"] for r in _id_filter(spark, df, "cand_rid", big).collect()
+        )
+        assert got_big == sorted(set(big))
+        got_small = sorted(
+            r["cand_rid"]
+            for r in _id_filter(spark, df, "cand_rid", small).collect()
+        )
+        assert got_small == sorted(set(small))
+        # ids absent from the frame simply don't match
+        got_miss = _id_filter(
+            spark, df, "cand_rid", [999999 + i for i in range(600)]
+        ).count()
+        assert got_miss == 0
