@@ -23,11 +23,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _host_probe_once() -> float:
     """One pass of the memory-bandwidth calibration probe (s/pass;
-    ~0.33 healthy on this box, >1 throttled — BENCH.md r3 note)."""
+    ~0.3 healthy steady-state on this box, >1 contended).
+
+    r5 find: the FIRST timed pass in a fresh process was dominated by
+    page faults + kernel zeroing of the 400 MB output allocation
+    (3.72 s vs 0.27 s for the next probe in the same process) — every
+    fresh-process gate reading of the r5 session carried that bias.
+    One untimed warmup pass removes it; later passes reuse the freed
+    malloc arena, which is also how Spark's own buffers behave."""
     import numpy as _np
     import time as _time
 
     _x = _np.random.rand(50_000_000)
+    _np.sqrt(_x * 1.000001 + 3)  # untimed: page-fault warmup
     _t0 = _time.time()
     for _ in range(3):
         _np.sqrt(_x * 1.000001 + 3)

@@ -26,6 +26,7 @@ import numpy as np
 
 def probe() -> float:
     x = np.random.rand(50_000_000)
+    np.sqrt(x * 1.000001 + 3)  # untimed: page-fault warmup (r5 find)
     t0 = time.time()
     for _ in range(3):
         np.sqrt(x * 1.000001 + 3)

@@ -139,12 +139,23 @@ def run_level(cpus: int, n_records: int, grid: int, n_lines: int) -> dict:
 
 
 def host_probe() -> float:
-    """Same memory-bandwidth probe as bench.py (s/pass; ~0.33 healthy)."""
+    """Memory-bandwidth probe (s/pass; ~0.3 healthy steady-state).
+
+    One UNTIMED warmup pass first: the output array of the first pass
+    in a fresh process is all page faults (+ kernel zeroing) — ~0.9 to
+    3.5 s of one-time cost that has nothing to do with host bandwidth.
+    Measured 3.72 / 0.27 / 0.65 / 0.52 for four back-to-back probes in
+    one process on this host — every 'throttled' fresh-process gate
+    reading of the r5 session was this artifact, not contention. Later
+    passes reuse the freed malloc arena and measure the steady state
+    the Spark workloads actually see (their buffers are recycled the
+    same way)."""
     import time
 
     import numpy as np
 
     x = np.random.rand(50_000_000)
+    np.sqrt(x * 1.000001 + 3)  # untimed: page-fault warmup
     t0 = time.time()
     for _ in range(3):
         np.sqrt(x * 1.000001 + 3)
