@@ -134,6 +134,14 @@ class CoverageIndex:
         Returns (found, idx, n_containing): ``found`` bool per point,
         ``idx`` index into the polygon arrays (valid where found),
         ``n_containing`` count of containing polygons per point.
+
+        Probes are processed SORTED BY CELL KEY (results scattered back
+        to input order): random points spray gathers across the whole
+        index (~20 MB at a 160k-polygon coverage), and with one index
+        copy per Python worker the aggregate working set evicts the
+        shared L3 — the 32-core pipeline level was memory-ceiling-bound
+        (BENCH_SCALING.md). Sorted probes touch each bucket/ring run
+        consecutively; the argsort is ~2 ms per 65k batch.
         """
         m = px.size
         found = np.zeros(m, dtype=bool)
@@ -146,6 +154,8 @@ class CoverageIndex:
             np.floor((py - self.gy0) / self.cell).astype(np.int64) * self.ncols
             + np.floor((px - self.gx0) / self.cell).astype(np.int64)
         )
+        order = np.argsort(keys, kind="stable")
+        px, py, keys = px[order], py[order], keys[order]
         lo = np.searchsorted(self.bucket_keys, keys, side="left")
         hi = np.searchsorted(self.bucket_keys, keys, side="right")
         cnt = hi - lo
@@ -202,12 +212,13 @@ class CoverageIndex:
 
         if prow.size == 0:
             return found, idx, ncont
-        np.add.at(ncont, prow, 1)
+        # scatter back to INPUT positions (prow indexes the sorted view)
+        np.add.at(ncont, order[prow], 1)
         # smallest-area winner per point
-        order = np.lexsort((self.area[pcol], prow))
-        first = np.concatenate(([True], prow[order][1:] != prow[order][:-1]))
-        wrow = prow[order][first]
-        wcol = pcol[order][first]
+        owin = np.lexsort((self.area[pcol], prow))
+        first = np.concatenate(([True], prow[owin][1:] != prow[owin][:-1]))
+        wrow = order[prow[owin][first]]
+        wcol = pcol[owin][first]
         found[wrow] = True
         idx[wrow] = wcol
         return found, idx, ncont
