@@ -25,7 +25,8 @@ minhash family is `(a_i * h + b_i) mod p` over 64-bit shingle hashes
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
 
 # 31-bit Mersenne prime: with a, b, pmod(x) all < 2^31, the linear
 # hash a*x + b stays under 2^62 — no long overflow under ANSI mode
@@ -34,12 +35,23 @@ _MERSENNE = (1 << 31) - 1
 
 def shingle_hashes(df: DataFrame, text: str = "text", n: int = 5) -> DataFrame:
     """Adds ``shingle_hashes: array<long>`` — distinct xxhash64 of
-    character n-grams."""
+    character n-grams.
+
+    ``lower(text)`` is evaluated ONCE per row into a projected column
+    the lambda references (r6): inlined into the transform lambda it
+    re-lowered the whole document at every shingle position — O(len²)
+    character copies per document. CollapseProject keeps the alias
+    because it is referenced more than once and non-trivial."""
+    lt = f"__lt_{text}"
     sh = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(lower({text})) - {n - 1}, 1)), "
-        f"i -> xxhash64(substring(lower({text}), i, {n}))))"
+        f"array_distinct(transform(sequence(1, greatest(length({lt}) - {n - 1}, 1)), "
+        f"i -> xxhash64(substring({lt}, i, {n}))))"
     )
-    return df.withColumn("shingle_hashes", sh)
+    return (
+        df.withColumn(lt, F.lower(F.col(text)))
+        .withColumn("shingle_hashes", sh)
+        .drop(lt)
+    )
 
 
 def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -57,21 +69,69 @@ def minhash_signature(
 ) -> DataFrame:
     """Adds ``sig: array<long>`` minhash signature. Hash family
     h_i(x) = (a_i * x + b_i) mod p (p = 2^31 - 1), deterministic in
-    ``seed``; evaluated as one column expression per hash via
-    array aggregate — JVM-side."""
+    ``seed``.
+
+    r6 (guide §4.2): evaluated as ONE vectorized numpy pass inside
+    ``mapInPandas`` instead of 64 per-hash SQL ``aggregate`` lambdas.
+    The higher-order-function path re-walked every shingle array 64
+    times with interpreted lambda evaluation (~2.8 s of the 30 s
+    minhash bench wall at 33k docs); the numpy pass computes the same
+    int64 arithmetic (products < 2^62 — no overflow; ``np.mod`` with a
+    positive modulus matches Spark ``pmod``) batch-at-a-time and is
+    bit-identical, pinned by tests/test_dedup.py minhash assertions
+    and the doc_minhash_* oracle rows."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
-    sigs = []
-    for i in range(num_hashes):
-        # positive 61-bit domain: fold the shingle hash first
-        expr = (
-            f"aggregate({shingle_col}, cast({_MERSENNE} as bigint), "
-            f"(acc, x) -> least(acc, pmod({int(a[i])}L * pmod(x, {_MERSENNE}L) + {int(b[i])}L, "
-            f"{_MERSENNE}L)))"
-        )
-        sigs.append(F.expr(expr))
-    return df.withColumn("sig", F.array(*sigs))
+    M = np.int64(_MERSENNE)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("sig", T.ArrayType(T.LongType()), False)]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                out = pdf.copy()
+                out["sig"] = pd.Series([], dtype=object)
+                yield out
+                continue
+            col = pdf[shingle_col]
+            lens = np.fromiter((len(v) for v in col), np.int64, n)
+            total = int(lens.sum())
+            flat = np.empty(total, np.int64)
+            o = 0
+            for v in col:
+                k = len(v)
+                flat[o : o + k] = v
+                o += k
+            xm = np.mod(flat, M)  # positive 31-bit fold (== pmod)
+            starts = np.concatenate(([np.int64(0)], np.cumsum(lens)))[:-1]
+            nonempty = lens > 0
+            all_nonempty = bool(nonempty.all())
+            ne_starts = starts[nonempty]
+            sigs = np.full((n, num_hashes), M, np.int64)
+            # hash-chunked: bounds the (elements × hashes) working set
+            for h0 in range(0, num_hashes, 8):
+                h1 = min(h0 + 8, num_hashes)
+                H = (a[h0:h1][None, :] * xm[:, None] + b[h0:h1][None, :]) % M
+                if all_nonempty:
+                    sigs[:, h0:h1] = np.minimum.reduceat(H, starts, axis=0)
+                elif ne_starts.size:
+                    # reduceat mis-handles empty segments; reduce the
+                    # nonempty ones and leave the aggregate init (M)
+                    red = np.minimum.reduceat(H, ne_starts, axis=0)
+                    # trailing nonempty segment is correct; interior
+                    # ones may span a following empty segment — but an
+                    # empty segment contributes no elements, so the
+                    # span equals the nonempty segment's own elements
+                    sigs[nonempty, h0:h1] = red
+                del H
+            out = pdf.copy()
+            out["sig"] = list(sigs)
+            yield out
+
+    return df.mapInPandas(compute, out_schema)
 
 
 def minhash_lsh_dedup(
@@ -124,6 +184,16 @@ def minhash_lsh_dedup(
     banded = base.select(
         F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("band_key")
     )
+    # r6 (guide §2.4): the band frame feeds THREE scans (bucket stats,
+    # the keyed join, and both sides of the small-bucket self-join);
+    # left as expressions, each scan re-ran the shingle+signature
+    # subtree — measured ~3× the one-pass cost at 33k docs (11.8 s vs
+    # 4.2 s to candidates). A lazy localCheckpoint materializes the
+    # narrow (id, band_key) rows once — 16 rows × 16 bytes per doc —
+    # and every scan reads the checkpointed blocks; lineage truncation
+    # also keeps the self-join plan small. Blocks are GC-cleaned with
+    # the frame (same discipline as connected_keepers' rounds).
+    banded = banded.localCheckpoint(eager=False)
 
     # bucket stats: anchor (min id) + size, one narrow aggregate
     buckets = banded.groupBy("band_key").agg(
@@ -220,7 +290,11 @@ def connected_keepers(
         # plan doubles per round — exponential tree size that stalls
         # the optimizer long before the data is large. Checkpointing
         # truncates the lineage to a constant-size leaf per round.
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # r6: lazy (eager=False) — the round's checksum aggregate
+        # materializes the checkpoint inside its own job instead of
+        # paying a separate full-stage wave first (one fewer job per
+        # round; the CC wall at 33k docs is job-latency-bound).
+        new_labels = new_labels.localCheckpoint(eager=False)
         cur = checksum(new_labels)
         labels.unpersist()
         labels = new_labels
