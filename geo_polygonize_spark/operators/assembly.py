@@ -383,6 +383,17 @@ def assemble_rings_split(
     transient cache)."""
     from .stitch import assemble_rings_distributed
 
+    import os as _os
+    import time as _time
+    _sprof = bool(_os.environ.get("GP_ASM_PROF"))
+    _st = {"t": _time.time()}
+
+    def _smark(name):
+        if _sprof:
+            now = _time.time()
+            print(f"SPLITPROF| {name}: {now - _st['t']:.3f}", flush=True)
+            _st["t"] = now
+
     spark = rings.sparkSession
     ts = float(tile_size)
     own_cache = not rings_cached
@@ -399,25 +410,44 @@ def assemble_rings_split(
         "is_local", is_local
     )
 
-    # gate first with one tiny aggregate over the cached ring set, then
-    # fetch the residue through one PARALLEL Arrow job — Spark's
-    # incremental limit().collect() runs 1→4→20-task waves and converts
-    # ring arrays row-by-row through py4j (measured ~0.5 s on a 6k-row
-    # lattice residue vs ~0.1 s for agg+toPandas)
+    # ONE summary aggregate over the ring set (r6 — was three separate
+    # full scans: the global gate, the CW tile-key job and the residue
+    # stats): global residue gate counts + the distinct CW member cells
+    # (tile + centroid, driver-gated, sorted for determinism) that
+    # drive the member bypass below. Then the residue itself is fetched
+    # through one PARALLEL Arrow job — Spark's incremental
+    # limit().collect() runs 1→4→20-task waves and converts ring arrays
+    # row-by-row through py4j.
+    _BYPASS_TILE_GATE = 4096
     glob = tagged.where(~F.col("is_local")).select(*_RING_COLS)
-    gstats = glob.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.size("xs")), F.lit(0)).alias("c"),
+    cw_struct = F.when(
+        F.col("is_local") & (F.col("area") < 0),
+        F.struct(
+            F.col("ti").alias("i"), F.col("tj").alias("j"),
+            F.col("cx").alias("x"), F.col("cy").alias("y"),
+        ),
+    )
+    summary = tagged.agg(
+        F.count(F.when(~F.col("is_local"), 1)).alias("n"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_local"), F.size("xs"))), F.lit(0)
+        ).alias("c"),
+        F.slice(
+            F.sort_array(F.collect_set(cw_struct)), 1, _BYPASS_TILE_GATE + 1
+        ).alias("cw_cells"),
+        F.size(F.collect_set(cw_struct)).alias("n_cw_cells"),
     ).collect()[0]
+    _smark("summary_job")
     if (
-        int(gstats["n"]) > global_rows_gate
-        or int(gstats["c"]) > global_coords_gate
+        int(summary["n"]) > global_rows_gate
+        or int(summary["c"]) > global_coords_gate
     ):
         # pathological tiling (rings >> tile): the split brings nothing
         # (rings is cached on either branch of ``rings_cached``)
         return assemble_rings_distributed(rings, drop_collapsed)
-    grows = glob.toPandas().to_dict("records") if int(gstats["n"]) else []
+    grows = glob.toPandas().to_dict("records") if int(summary["n"]) else []
     gshells, gvisitors = _promote_rows(grows)
+    _smark("glob_collect")
 
     payload = {
         "n": len(gshells),
@@ -438,6 +468,13 @@ def assemble_rings_split(
     )
     # boundary member holes also visit neighbor tiles (narrow rows in
     # practice — a snapped centroid rarely lands exactly on a gridline)
+    # r6 member bypass (same argument as the fused path): a tile with
+    # no CW member, no boundary visit and no global visitor produces
+    # identity K_POLY rows for every member — skip the coords shuffle
+    # AND the Python kernel for those members entirely (the dominant
+    # assembly cost on a lattice is moving every ring's coordinates
+    # through the groupBy exchange + two Arrow conversions). The
+    # interesting-tile set is collected narrow (driver-gated) below.
     gxf = F.lit(x0) + F.floor((F.col("cx") - x0) / ts) * ts
     gyf = F.lit(y0) + F.floor((F.col("cy") - y0) / ts) * ts
     ci = F.floor((F.col("cx") - x0) / ts).cast("int")
@@ -467,7 +504,41 @@ def assemble_rings_split(
         )
     )
 
-    kernel_input = members.unionByName(boundary_visits)
+    # interesting tiles = every CW member's home tile + its boundary
+    # neighbor tiles (from the summary's distinct CW cells —
+    # _touching_tiles mirrors the SQL on_x/on_y float math) + the
+    # global visitors' touching tiles. Gated: a hole-dominated input
+    # whose CW cell set exceeds the gate keeps the full Python pass.
+    bypass = None
+    boundary_needed = True
+    if int(summary["n_cw_cells"]) <= _BYPASS_TILE_GATE:
+        interesting_tiles = set()
+        boundary_needed = False
+        for c in summary["cw_cells"] or ():
+            touch = _touching_tiles(float(c["x"]), float(c["y"]), x0, y0, ts)
+            interesting_tiles.add((int(c["i"]), int(c["j"])))
+            interesting_tiles.update(touch)
+            if len(touch) > 1:
+                boundary_needed = True
+        for r in gvisitors:
+            for ab in _touching_tiles(float(r["cx"]), float(r["cy"]), x0, y0, ts):
+                interesting_tiles.add(ab)
+        _B = 1 << 32
+        tkey = F.col("tile_i").cast("long") * F.lit(_B) + F.col("tile_j").cast("long")
+        plain, members = _bypass_interesting_split(
+            members,
+            tkey,
+            {a * _B + b for a, b in interesting_tiles},
+            spark,
+        )
+        bypass = _bypass_poly_rows(plain)
+
+    # the boundary-visit subtree is its own scan of the ring set — skip
+    # it when the summary proves no CW member centroid sits on a
+    # gridline (every lattice coverage)
+    kernel_input = (
+        members.unionByName(boundary_visits) if boundary_needed else members
+    )
     if gvisitors:
         vrows = []
         for r in gvisitors:
@@ -494,20 +565,91 @@ def assemble_rings_split(
         kernel_input = kernel_input.unionByName(vdf)
 
     kernel = _make_split_kernel(x0, y0, ts, gbc)
-    out = (
-        kernel_input.groupBy("tile_i", "tile_j")
-        .applyInPandas(kernel, SPLIT_SCHEMA)
-        # consumed by 3-4 narrow readers; lazy — materializes inside
-        # the finish's first job rather than as its own stage wave
-        .localCheckpoint(eager=False)
-    )
-
+    out = kernel_input.groupBy("tile_i", "tile_j").applyInPandas(kernel, SPLIT_SCHEMA)
     release = (lambda: rings.unpersist()) if own_cache else None
+    finish_bypass = bypass
+    if bypass is not None and release is not None:
+        # early release (this function owns the ring cache): bypass
+        # rows must ride through the checkpoint so the final plan
+        # never re-reads the released cache
+        out = out.unionByName(bypass)
+        finish_bypass = None
+    # consumed by 3-4 narrow readers; lazy — materializes inside
+    # the finish's first job rather than as its own stage wave.
+    # When the caller keeps the ring cache alive (rings_cached=True,
+    # the stitched_polygonize path), bypass rows skip this checkpoint
+    # and flow straight from that cache into the final plan — no
+    # second copy of the plain ring bytes.
+    out = out.localCheckpoint(eager=False)
+    _smark("kernel_plan")
+
     # every K_FINAL/K_PARTIAL row of the split kernel carries its hole
     # coords (members AND visitors enter the kernel with xs/ys), so no
     # merged_coord_rows fill is needed
     return _finish_assignments(
         spark, out, gshells, drop_collapsed, release=release,
+        bypass_polys=finish_bypass,
+    )
+
+
+def core_key_col(x0, y0, ts, cols, rows):
+    """SQL claim-core key from the ring bbox corner — mirrors the fused
+    kernel's numpy derivation float-for-float (floor of the same IEEE
+    double quotient, same clip) for the unsplit (f = 1) case:
+    ``_core_key(ti, tj, 1, 0, 0, rows)``."""
+    ti_c = F.least(
+        F.greatest(F.floor((F.col("bx1") - F.lit(x0)) / F.lit(ts)), F.lit(0)),
+        F.lit(cols - 1),
+    ).cast("long")
+    tj_c = F.least(
+        F.greatest(F.floor((F.col("by1") - F.lit(y0)) / F.lit(ts)), F.lit(0)),
+        F.lit(rows - 1),
+    ).cast("long")
+    return ((ti_c * F.lit(rows) + tj_c) * F.lit(17) + F.lit(1)) * F.lit(256)
+
+
+def _bypass_poly_rows(plain: DataFrame) -> DataFrame:
+    """JVM-side identity K_POLY rows for rings of PLAIN cores/tiles —
+    exactly what the Python kernels emit for a group with no CW ring
+    and no visitor (every ring a plain CCW shell: promotion needs a CW
+    twin, holes are CW rings, so no K_FINAL/K_PARTIAL and hole arrays
+    are empty). Input: _RING_COLS-shaped frame; output: SPLIT_SCHEMA."""
+    return plain.select(
+        F.lit(K_POLY).cast("int").alias("kind"),
+        "rid",
+        F.col("xs").alias("shell_xs"),
+        F.col("ys").alias("shell_ys"),
+        F.array().cast("array<array<double>>").alias("hole_xs"),
+        F.array().cast("array<array<double>>").alias("hole_ys"),
+        F.lit(0).cast("int").alias("n_holes"),
+        F.col("area").alias("net_area"),
+        "cx",
+        "cy",
+        F.lit(None).cast("long").alias("h_rid"),
+        F.lit(None).cast("long").alias("cand_rid"),
+        F.lit(None).cast("double").alias("cand_area"),
+        F.lit(None).cast("double").alias("h_area"),
+        F.lit(None).cast("array<double>").alias("h_xs"),
+        F.lit(None).cast("array<double>").alias("h_ys"),
+    )
+
+
+def _bypass_interesting_split(df: DataFrame, key_col, keys: set, spark):
+    """(plain, interesting) split of ``df`` on ``key_col`` membership in
+    the driver-known ``keys`` — literal ``isin`` for small sets, anti/
+    semi broadcast joins above 512 (the _id_filter rule)."""
+    if not keys:
+        return df, df.where(F.lit(False))
+    ids = sorted(keys)
+    if len(ids) <= 512:
+        return df.where(~key_col.isin(ids)), df.where(key_col.isin(ids))
+    idf = spark.createDataFrame(
+        pd.DataFrame({"_k": pd.Series(ids, dtype="int64")}), "_k long"
+    )
+    kdf = df.withColumn("_k", key_col)
+    return (
+        kdf.join(F.broadcast(idf), "_k", "left_anti").drop("_k"),
+        kdf.join(F.broadcast(idf), "_k", "left_semi").drop("_k"),
     )
 
 
@@ -533,6 +675,7 @@ def _finish_assignments(
     merged_coord_rows: list | None = None,
     extra_partials: DataFrame | None = None,
     release=None,
+    bypass_polys: DataFrame | None = None,
 ) -> DataFrame:
     """Shared narrow finish over a SPLIT_SCHEMA kernel output: resolve
     per-hole winners (finals + min over partial candidate rows), net
@@ -546,6 +689,17 @@ def _finish_assignments(
     exception is fused-path merged visitors (their coords never enter
     the kernel): those rows carry null h_xs and resolve from
     ``merged_coord_rows`` — the (driver-side) global residue rows."""
+    import os as _os
+    import time as _time
+    _fprof = bool(_os.environ.get("GP_ASM_PROF"))
+    _ft = {"t": _time.time()}
+
+    def _fmark(name):
+        if _fprof:
+            now = _time.time()
+            print(f"FINPROF| {name}: {now - _ft['t']:.3f}", flush=True)
+            _ft["t"] = now
+
     polys = out.where(F.col("kind") == K_POLY)
     _wcols = ["h_rid", "cand_rid", "cand_area", "h_area", "h_xs", "h_ys"]
     finals = out.where(F.col("kind") == K_FINAL).select(*_wcols)
@@ -582,11 +736,13 @@ def _finish_assignments(
     # collect stays driver-safe even when (grid coverages) every CW
     # ring wins to the hull.
     g_rid_set = {int(r["rid"]) for r, _ in gshells}
+    _fmark("plan_build")
     wagg = (
         winners.groupBy("cand_rid")
         .agg(F.sum("h_area").alias("hsum"), F.count("*").alias("hn"))
         .collect()
     )
+    _fmark("winner_agg_job")
     gagg = {}
     local_win_rids = []
     for r in wagg:
@@ -710,6 +866,16 @@ def _finish_assignments(
                 (F.col("n_holes") + F.coalesce("p_n", F.lit(0))).cast("int"),
             )
         )
+    if bypass_polys is not None:
+        # r6: identity rows of plain cores/tiles — they never crossed
+        # the Python kernel and (callers' argument) can never be patch
+        # targets, so they join the emitted polygons AFTER the patch
+        # join, straight from the caller's long-lived ring storage (no
+        # second copy through the kernel-output checkpoint). Callers
+        # only pass this when that storage outlives the returned plan.
+        polys = polys.select(*[f.name for f in SPLIT_SCHEMA.fields]).unionByName(
+            bypass_polys
+        )
     if drop_collapsed:
         polys = polys.where(F.col("net_area") > 1e-6)
 
@@ -727,6 +893,7 @@ def _finish_assignments(
     result = polys.select(*final_cols)
     if gpolys is not None:
         result = result.unionByName(gpolys.select(*final_cols))
+    _fmark("tail_build")
     return result
 
 
@@ -1632,9 +1799,15 @@ def assemble_rings_fused(
     release=None,
     merged_rows_bound: int | None = None,
     merged_coords_bound: int | None = None,
+    cw_cores: set | None = None,
 ) -> DataFrame:
     """Chain-engine assembly with ZERO extra shuffles of ring data:
     phase 2 maps over the cached trace output (header comment).
+
+    ``cw_cores``: pre-computed claim-core keys holding at least one CW
+    ring (the chain engine folds this into its counts job); None =
+    compute here with one narrow job. Only consulted when ``fmap`` is
+    empty (bypass path).
 
     ``trace_out``: the persisted CHAIN_SCHEMA kernel output (kind 0 =
     local rings, already degenerate-filtered). ``merged``: chain-merge
@@ -1796,11 +1969,56 @@ def assemble_rings_fused(
         else None
     )
 
+    # r6 phase-2 bypass (guide §4.1/§2.3 — don't move bytes through
+    # Python that come back unchanged): a core with no CW ring and no
+    # visitor produces the IDENTITY kernel output — every ring is a
+    # plain CCW shell (promotion needs a CW twin, holes are CW rings,
+    # K_FINAL/K_PARTIAL need holes), and such shells can never be
+    # patch targets in the finish (every winner's cand_rid lives in
+    # the hole's own core or the broadcast globals — both interesting).
+    # So only rings of INTERESTING cores (any CW ring, or a visitor
+    # touch) cross the Arrow boundary; the rest re-emit JVM-side from
+    # the cached trace output. On a dense lattice the interesting set
+    # is empty and phase 2 moves zero ring bytes through Python
+    # (measured: the phase-2 pass was ~1.7 s of pure serialization of
+    # 160k rings at grid-400 — the kernel's own compute is ~0.1 s).
+    # Hot-tile sub-splits (fmap) complicate the SQL core derivation —
+    # those rare runs keep the full Python pass.
+    bypass = None
+    phase2_in = ringrows
+    if not fmap:
+        core_c = core_key_col(x0, y0, ts, cols, rows)
+        if cw_cores is None:
+            cw_cores = {
+                int(r["core"])
+                for r in ringrows.where(F.col("area") < 0)
+                .select(core_c.alias("core"))
+                .distinct()
+                .collect()
+            }
+        vis_cores = {int(k) for v in vis for k in v[4]}
+        plain, phase2_in = _bypass_interesting_split(
+            ringrows, core_c, set(cw_cores) | vis_cores, spark
+        )
+        bypass = _bypass_poly_rows(plain)
+        _mark("bypass_split")
+
     kernel = _make_fused_partition_kernel(x0, y0, ts, cols, rows, fmap, gbc, vbc)
-    # lazy checkpoint: materializes inside the finish's FIRST job (the
-    # winner aggregate) instead of as its own stage wave — one fewer
-    # full job; lineage still truncates before the caller's release()
-    out = ringrows.mapInPandas(kernel, SPLIT_SCHEMA).localCheckpoint(eager=False)
+    # lazy checkpoint of the (now small: interesting cores only) kernel
+    # output — materializes inside the finish's FIRST job (the winner
+    # aggregate) instead of as its own stage wave. The bypass rows do
+    # NOT ride through this checkpoint: they flow straight from the
+    # caller's trace storage into the final plan (zero extra copies of
+    # plain ring bytes) — valid because the chain engine's trace output
+    # is a self-GC'd localCheckpoint that outlives the plan (r6). If a
+    # caller still passes an eager ``release`` callback, keep the old
+    # union-into-checkpoint shape so early release stays safe.
+    out = phase2_in.mapInPandas(kernel, SPLIT_SCHEMA)
+    finish_bypass = bypass
+    if bypass is not None and release is not None:
+        out = out.unionByName(bypass)
+        finish_bypass = None
+    out = out.localCheckpoint(eager=False)
     _mark("phase2_plan")  # lazy: kernel wall lands in the finish's first job
 
     # hole coords: local winners carry theirs on the K_FINAL rows;
@@ -1810,6 +2028,7 @@ def assemble_rings_fused(
         spark, out, gshells, drop_collapsed,
         merged_coord_rows=grows,
         extra_partials=extra_partials, release=release,
+        bypass_polys=finish_bypass,
     )
     _mark("finish")
     return res

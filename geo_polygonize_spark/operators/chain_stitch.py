@@ -1197,7 +1197,17 @@ def chain_stitched_polygonize(
     )(x0, y0, float(tile_size), buffer_eff, snap_grid, cols, rows, fmap)
     out = assigned.groupBy(*key_cols).applyInPandas(
         kernel, CHAIN_FUSED_SCHEMA if use_fused_trace else CHAIN_SCHEMA
-    ).persist()
+    )
+    if use_fused_trace:
+        out = out.persist()
+    else:
+        # r6: self-GC'd localCheckpoint instead of persist — blocks are
+        # ContextCleaner-freed when the returned plan drops (no
+        # CacheManager entry to leak or to plan-match a later run), and
+        # the final plan may legitimately keep reading it (the fused
+        # assembly's bypass rows flow straight from here — zero extra
+        # copies of plain ring bytes)
+        out = out.localCheckpoint(eager=False)
 
     if not use_fused_trace:
         local_rings = out.where(F.col("kind") == 0).select(
@@ -1205,20 +1215,40 @@ def chain_stitched_polygonize(
             F.lit(0).cast("int").alias("level"), F.lit(False).alias("beacon"),
         )
     chains = out.where(F.col("kind") == 1)
-    # ONE job over the cached kernel output supplies both decisions
-    # (merge strategy + assembly strategy): n_chains exactly, and
-    # n_local + n_chains as an upper bound on the final ring count
-    # (each chain cycle yields ≤ its chain count in rings) — replacing
-    # the two separate full-cache count jobs of the first version.
-    # coords ride along (free in the same cached scan): the merged
-    # ring set concatenates chain coordinate arrays, so its total
-    # coordinate count is bounded by the chain total + one closing
-    # vertex per ring — letting the fused assembly skip the incremental
-    # limit gate and collect the residue through one parallel Arrow job
-    kc = {int(r["kind"]): (int(r["n"]), int(r["c"] or 0)) for r in
-          out.groupBy("kind").agg(
-              F.count("*").alias("n"), F.sum(F.size("xs")).alias("c")
-          ).collect()}
+    # ONE job over the checkpointed kernel output supplies all three
+    # decisions (merge strategy + assembly strategy + the r6 bypass's
+    # CW-core set): n_chains exactly, n_local + n_chains as an upper
+    # bound on the final ring count (each chain cycle yields ≤ its
+    # chain count in rings), and — when no hot-tile split is active —
+    # the distinct claim cores holding a CW ring (the interesting set
+    # for the fused assembly's phase-2 bypass; empty on lattices).
+    # coords ride along (free in the same scan): the merged ring set
+    # concatenates chain coordinate arrays, so its total coordinate
+    # count is bounded by the chain total + one closing vertex per
+    # ring — letting the fused assembly skip the incremental limit
+    # gate and collect the residue through one parallel Arrow job
+    from .assembly import core_key_col
+
+    kc_aggs = [F.count("*").alias("n"), F.sum(F.size("xs")).alias("c")]
+    if not use_fused_trace and not fmap:
+        kc_aggs.append(
+            F.collect_set(
+                F.when(
+                    (F.col("kind") == 0) & (F.col("area") < 0),
+                    core_key_col(x0, y0, float(tile_size), cols, rows),
+                )
+            ).alias("cwc")
+        )
+    kc_rows = out.groupBy("kind").agg(*kc_aggs).collect()
+    kc = {int(r["kind"]): (int(r["n"]), int(r["c"] or 0)) for r in kc_rows}
+    cw_cores = None
+    if not use_fused_trace and not fmap:
+        cw_cores = {
+            int(v)
+            for r in kc_rows
+            if int(r["kind"]) == 0
+            for v in (r["cwc"] or ())
+        }
     _t = _prof("trace+counts", _t)
     n_chains, chain_coords = kc.get(1, (0, 0))
     n_rings_upper = kc.get(0, (0, 0))[0] + n_chains
@@ -1276,29 +1306,29 @@ def chain_stitched_polygonize(
     if assembly == "split":
         from .assembly import assemble_rings_fused
 
-        # fused phase-2: maps over the cached trace output (no ring
-        # reshuffle — every trace-local ring's core is derived from
-        # its bbox corner, bit-exactly the claiming core); the finish
-        # re-anchors any late-needed coordinates, then the trace cache
-        # is released via the callback
+        # fused phase-2: maps over the checkpointed trace output (no
+        # ring reshuffle — every trace-local ring's core is derived
+        # from its bbox corner, bit-exactly the claiming core). No
+        # release callback: the trace checkpoint is self-GC'd and the
+        # bypass rows in the final plan read it directly (r6).
         return assemble_rings_fused(
             out, merged, x0, y0, float(tile_size), cols, rows, fmap,
-            drop_collapsed=drop_collapsed, release=out.unpersist,
+            drop_collapsed=drop_collapsed, release=None,
             merged_rows_bound=n_chains,
             merged_coords_bound=chain_coords + n_chains,
+            cw_cores=cw_cores,
         )
 
     rings = local_rings if merged is None else local_rings.unionByName(merged)
     rings = rings.withColumn("rid", F.xxhash64("xs", "ys")).drop("beacon")
-    # Materialize the merged ring set once (executor-local checkpoint:
-    # lineage truncated, blocks GC-cleaned when the frame drops — unlike
-    # a DataFrame persist, which lives in the CacheManager until an
-    # explicit unpersist) so the kernel-output cache can be released
-    # NOW instead of leaking across calls in a long-lived session.
-    rings = rings.localCheckpoint(eager=True)
-    out.unpersist()
     if assembly == "local":
+        # single consumer, one coalesced task — reads the trace
+        # checkpoint narrowly, no intermediate ring copy needed (r6;
+        # the eager ring checkpoint existed only so the old persist
+        # could be released early)
         return _assemble_rings_local(rings, drop_collapsed=drop_collapsed)
     # distributed assembly re-consumes the ring set from several joins —
-    # the checkpoint blocks serve every consumer, no extra persist needed
+    # one eager executor-local checkpoint serves every consumer (blocks
+    # GC-cleaned when the frame drops)
+    rings = rings.localCheckpoint(eager=True)
     return assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)

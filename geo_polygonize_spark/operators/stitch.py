@@ -239,6 +239,7 @@ def stitched_polygonize(
     # later level an empty stage — near-zero cost, no driver barrier
     # per level.
     level_rings = []
+    level_outs = []  # persisted per-level kernel outputs (released below)
     active = None  # level-k tile keys to process; None = all (level 0)
     region = None  # level-k beacon-box rows (escalation="pruned")
     for k in range(n_levels):
@@ -318,6 +319,7 @@ def stitched_polygonize(
             is_final=(k == n_levels - 1), prev_grid=prev_grid, grid=(cols, rows),
         )
         out = assigned.groupBy(*STITCH_KEY).applyInPandas(kernel, RING_SCHEMA).persist()
+        level_outs.append(out)
         level_rings.append(out.where(~F.col("beacon")))
 
         if k + 1 >= n_levels:
@@ -374,9 +376,20 @@ def stitched_polygonize(
             f"assembly must be auto|local|distributed|split, got {assembly!r}"
         )
     # the ring set is the hub of the assembly DAG (promotion anti-join,
-    # cell join, hole aggregation all re-consume it) — persist it in
-    # every mode or the whole level pipeline recomputes per consumer
-    rings = rings.persist()
+    # cell join, hole aggregation all re-consume it). r6: EAGER
+    # localCheckpoint instead of persist — the level chain's logical
+    # plan (n_levels of unions over persisted frames) made every
+    # downstream action re-run Catalyst over the whole tree (~0.5-0.7 s
+    # of driver planning PER assembly job, 4-6 jobs); the checkpoint
+    # truncates lineage to a leaf, is GC-cleaned with the frame, and
+    # leaves no CacheManager entry to plan-match a later run.
+    rings = rings.localCheckpoint(eager=True)
+    # the checkpoint holds the data now — the per-level kernel caches
+    # (and the segment cache) are dead weight from here on
+    for o in level_outs:
+        o.unpersist()
+    if _segments is None:
+        segments.unpersist()
     if _os.environ.get("SPARK_GRAFT_PROFILE"):
         # force the whole lazy level chain here so the phase split is
         # levels+trace vs assembly (rings is persisted — the count the
