@@ -308,14 +308,6 @@ def pip_join(
         "cell_i", cell_range_cols(F.col("x"), x0, cell_size, 1 << 20)
     ).withColumn("cell_j", cell_range_cols(F.col("y"), y0, cell_size, 1 << 20))
 
-    # a point keys to ONE cell, so each (point, polygon) candidate pair
-    # arises once — no dedup needed
-    cand = pts.join(pc, ["cell_i", "cell_j"], "inner").where(
-        (F.col("x") >= F.col("pbx1"))
-        & (F.col("x") <= F.col("pbx2"))
-        & (F.col("y") >= F.col("pby1"))
-        & (F.col("y") <= F.col("pby2"))
-    )
     if salt is None:
         # auto: per-polygon split count from an UPPER BOUND on its
         # candidate volume — sum of points-per-cell over the polygon's
@@ -327,6 +319,12 @@ def pip_join(
         # a silent 2× on the dominant join). Bound ≥ actual (bbox
         # filter only shrinks it) → conservative split counts, each
         # group still ≤ max_probes_per_group.
+        # r6 (guide §2.3): ``_ns`` joins onto the NARROW pc frame
+        # (O(polygons × cells) rows) BEFORE the cell join and rides
+        # into the candidates as one int column — previously the
+        # counts joined onto the candidate frame itself, re-shuffling
+        # every (point × polygon) row for a per-polygon lookup
+        # (measured ~0.4 s of the 5.4 s 1M×40k wall).
         pts_per_cell = pts.groupBy("cell_i", "cell_j").agg(F.count("*").alias("_np"))
         counts = (
             pc.select("cell_i", "cell_j", "pkey")
@@ -337,7 +335,20 @@ def pip_join(
         n_salt = F.greatest(
             F.ceil(F.col("_nc") / F.lit(max_probes_per_group)), F.lit(1)
         ).cast("int")
-        cand = cand.join(counts.select("pkey", n_salt.alias("_ns")), "pkey").withColumn(
+        pc = pc.join(counts.select("pkey", n_salt.alias("_ns")), "pkey", "left").fillna(
+            {"_ns": 1}  # a polygon with zero points in its cells draws
+            # no candidates anyway; 1 keeps the left join total
+        )
+    # a point keys to ONE cell, so each (point, polygon) candidate pair
+    # arises once — no dedup needed
+    cand = pts.join(pc, ["cell_i", "cell_j"], "inner").where(
+        (F.col("x") >= F.col("pbx1"))
+        & (F.col("x") <= F.col("pbx2"))
+        & (F.col("y") >= F.col("pby1"))
+        & (F.col("y") <= F.col("pby2"))
+    )
+    if salt is None:
+        cand = cand.withColumn(
             "gsalt", F.pmod(F.xxhash64(point_id), F.col("_ns")).cast("int")
         ).drop("_ns")
     elif group_salt > 1:
