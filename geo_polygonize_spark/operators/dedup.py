@@ -249,9 +249,16 @@ def connected_keepers(
     one component into several keepers.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # pre-partitioned on the per-round join key (dst), so every round's
+    # neighbor join reuses the cached partitioning instead of paying a
+    # fresh exchange of the (static) edge set (guide §2.4)
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("dst")
+        .persist()
+    )
 
     if all_ids is not None:
         nodes = all_ids.select(F.col(id_col).alias("id")).distinct()
@@ -268,32 +275,38 @@ def connected_keepers(
     prev = checksum(labels)
     converged = False
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        # r6 fused round (one aggregation instead of a three-join
+        # chain): new_label(u) = min(own, labels of neighbors,
+        # label-of-label) via a union of three message streams. The
+        # pointer-doubling hop resolves against the PREVIOUS round's
+        # labels rather than the post-neighbor-min frame — a one-round
+        # lag that keeps the update monotone (labels only decrease to
+        # other in-component label values; the fixpoint where no label
+        # changes still forces label(u) ≤ label(v) across every edge,
+        # i.e. component-constant = component min) while halving the
+        # per-round exchange count: the old shape ran ~7 exchange
+        # waves per round under AQE, the fused shape 4, and the two
+        # labels-by-id scans share one reused exchange.
+        nbr_msgs = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("id"), "label"
         )
-        half = labels.join(nbr, labels.id == nbr.src, "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        hop_msgs = (
+            labels.select(F.col("id").alias("_u"), F.col("label").alias("_l"))
+            .join(labels, F.col("_l") == labels.id)
+            .select(F.col("_u").alias("id"), "label")
         )
-        # pointer doubling: label ← min(label, label-of-label). Labels
-        # are always node ids, so the self-join resolves one extra hop
-        # per round — label chains halve each round (O(log d) total).
-        hop = half.select(F.col("id").alias("_hid"), F.col("label").alias("_hlabel"))
-        new_labels = half.join(hop, half.label == hop._hid, "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce("_hlabel", F.col("label"))).alias("label"),
+        new_labels = (
+            labels.select("id", "label")
+            .unionByName(nbr_msgs)
+            .unionByName(hop_msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
         )
-        # localCheckpoint, not persist: each round references the prior
-        # round's frame TWICE (half ⋈ hop-of-half), so an uncut logical
-        # plan doubles per round — exponential tree size that stalls
-        # the optimizer long before the data is large. Checkpointing
-        # truncates the lineage to a constant-size leaf per round.
-        # r6: lazy (eager=False) — the round's checksum aggregate
-        # materializes the checkpoint inside its own job instead of
-        # paying a separate full-stage wave first (one fewer job per
-        # round; the CC wall at 33k docs is job-latency-bound).
+        # localCheckpoint, not persist: the hop stream references the
+        # prior round's frame twice, so an uncut logical plan doubles
+        # per round — exponential tree size that stalls the optimizer
+        # long before the data is large. Checkpointing truncates the
+        # lineage to a constant-size leaf per round.
         new_labels = new_labels.localCheckpoint(eager=False)
         cur = checksum(new_labels)
         labels.unpersist()
