@@ -1868,8 +1868,13 @@ def assemble_rings_fused(
             or sum(len(r["xs"]) for r in grows) > global_coords_gate
         ):
             # pathological residue: hand the FULL ring set to the
-            # distributed assembly (lossless, slower)
-            rings = ringrows.unionByName(merged_rid).persist()
+            # distributed assembly (lossless, slower). Eager local
+            # checkpoint, then release the caller's trace cache — the
+            # old persist leaked in the CacheManager for the session
+            # lifetime and never fired the release callback (ADVICE r5)
+            rings = ringrows.unionByName(merged_rid).localCheckpoint(eager=True)
+            if release is not None:
+                release()
             return assemble_rings_distributed(rings, drop_collapsed)
     _mark("merged_collect+promote")
     gshells, gvisitors = _promote_rows(grows)

@@ -504,26 +504,38 @@ def _make_chain_kernel(x0, y0, ts, buffer_eff, snap_grid, cols, rows, fmap):
 
 
 def _ring_rids(coords_x, coords_y, area, bx1, by1, bx2, by2) -> np.ndarray:
-    """Deterministic 64-bit ring ids from canonical ring stats plus
-    sampled vertices. Rings are rotation-canonicalized before their
+    """Deterministic 64-bit ring ids folding EVERY vertex (r6, ADVICE
+    r5: the sampled-vertex version could silently merge two distinct
+    canonical rings agreeing on length, endpoints and stats): each
+    vertex is mixed with its position and XOR-reduced per ring (one
+    vectorized pass over the flattened layout), then chained with the
+    canonical stats. Rings are rotation-canonicalized before their
     stats, so every field is tracer-invariant; the SIGNED area
     separates exact-bbox twins. Same 64-bit collision posture as the
     chain link keys (the merge collision guard documents it)."""
     n = len(coords_x)
     if n == 0:
         return np.empty(0, np.int64)
+    lens = np.fromiter((a.size for a in coords_x), np.int64, n)
+    off = np.concatenate(([0], np.cumsum(lens)))
+    fx = np.concatenate(coords_x)
+    fy = np.concatenate(coords_y)
+    pos = (
+        np.arange(int(off[-1]), dtype=np.uint64)
+        - np.repeat(off[:-1].astype(np.uint64), lens)
+    )
+    with np.errstate(over="ignore"):
+        ps = _mix64(pos ^ np.uint64(0x9E3779B97F4A7C15))
+        ev = _mix64(fx.view(np.uint64) ^ ps) ^ _mix64(fy.view(np.uint64) ^ _mix64(ps))
+        vhash = np.bitwise_xor.reduceat(ev, off[:-1])
     parts = [
-        np.fromiter((a.size for a in coords_x), np.int64, n).astype(np.float64),
-        np.fromiter((a[0] for a in coords_x), np.float64, n),
-        np.fromiter((a[0] for a in coords_y), np.float64, n),
-        np.fromiter((a[a.size >> 1] for a in coords_x), np.float64, n),
-        np.fromiter((a[a.size >> 1] for a in coords_y), np.float64, n),
+        lens.astype(np.float64),
         np.asarray(area, np.float64), np.asarray(bx1, np.float64),
         np.asarray(by1, np.float64), np.asarray(bx2, np.float64),
         np.asarray(by2, np.float64),
     ]
     with np.errstate(over="ignore"):
-        h = np.full(n, 0x243F6A8885A308D3, dtype=np.uint64)
+        h = _mix64(np.full(n, 0x243F6A8885A308D3, dtype=np.uint64) ^ vhash)
         for a in parts:
             h = _mix64(h ^ a.view(np.uint64))
     return h.view(np.int64)
@@ -880,9 +892,14 @@ def _presplit_long_segments(
         )
         out = segments.sparkSession.read.parquet(path)
         # stats are free on the driver — hand them back so the caller
-        # skips its post-split agg job entirely
+        # skips its post-split agg job entirely. The parquet path rides
+        # back too (r6, ADVICE r5): the caller deletes it once the
+        # trace is materialized, so a long-lived driver issuing many
+        # tiny-input polygonize calls no longer accumulates
+        # multi-million-row handoff files until interpreter exit
+        # (the atexit tmpdir removal stays as the backstop).
         l_new = float(np.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2).max()) if x1.size else 0.0
-        return out, (l_new, int(x1.size)), None
+        return out, (l_new, int(x1.size)), None, path
     eps = 2.0 * max(snap_grid, 1e-300)
     cols = max(int(np.ceil((x1g - x0) / tile_size)), 1)
     rows = max(int(np.ceil((y1g - y0) / tile_size)), 1)
@@ -994,7 +1011,7 @@ def _presplit_long_segments(
     # seg_keyed rides back so the caller can drop its cache once the
     # split output is materialized (it feeds both the tile groups and
     # the split join; nothing reads it after the apply)
-    return joined.mapInPandas(apply_kernel, SEG_SCHEMA), None, seg_keyed
+    return joined.mapInPandas(apply_kernel, SEG_SCHEMA), None, seg_keyed, None
 
 
 def chain_stitched_polygonize(
@@ -1027,6 +1044,7 @@ def chain_stitched_polygonize(
 
     _t = _time.time()
     _orig_tile = float(tile_size)
+    _presplit_file: str | None = None
     segments = (
         _segments if _segments is not None else segmentize_df(lines_df).persist()
     )
@@ -1057,7 +1075,7 @@ def chain_stitched_polygonize(
         # below ~32 extra windows the two pre-split shuffles cost more
         # than the redundancy they remove (measured: grid-100/tile-25
         # regressed ~0.3 s, grid-400/tile-25 improved ~2.4 s).
-        segments, _split_stats, _aux_cache = _presplit_long_segments(
+        segments, _split_stats, _aux_cache, _presplit_file = _presplit_long_segments(
             segments, tile_size, x0, y0, x1g, y1g, snap_grid,
             n_segments=n_segments,
         )
@@ -1253,9 +1271,15 @@ def chain_stitched_polygonize(
     n_chains, chain_coords = kc.get(1, (0, 0))
     n_rings_upper = kc.get(0, (0, 0))[0] + n_chains
     # the counts job materialized the kernel output cache — the segment
-    # cache behind it is dead weight from here on
+    # cache behind it (and the driver pre-split parquet handoff, if
+    # any) is dead weight from here on
     for df_ in _to_unpersist:
         df_.unpersist()
+    if _presplit_file is not None:
+        try:
+            os.remove(_presplit_file)
+        except OSError:
+            pass
     if n_chains == 0:
         merged = None
     elif n_chains <= chain_merge_threshold:

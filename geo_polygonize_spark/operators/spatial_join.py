@@ -581,6 +581,11 @@ def knn_join_cells(
         cand = pts.join(cent_cells, ["cell_i", "cell_j"]).withColumn(
             "dist", F.sqrt(dx * dx + dy * dy)
         )
+        # NOTE (r6): a collect_list+sort_array reformulation of the
+        # top-k (one groupBy instead of window + resolution aggregate +
+        # semi-join) was measured 2.3× SLOWER warm (6.5 s vs 2.8 s at
+        # 1M×40k) — per-group list-of-struct aggregation buffers cost
+        # more than the window's sort — so the window shape stays.
         topk = (
             cand.withColumn("rank", F.row_number().over(w) - 1)
             .where(F.col("rank") < k)

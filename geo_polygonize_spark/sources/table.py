@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -49,13 +50,22 @@ class CommitConflictError(RuntimeError):
 
 
 def _strip_uri_scheme(p: str) -> str:
-    # Spark's inputFiles() returns URIs ("file:/x/y"); local tooling
-    # passes plain paths. Normalize both to a filesystem path.
+    # Spark's inputFiles() returns URIs ("file:/x/y") with
+    # percent-encoded special characters (a table at ".../my table"
+    # yields "file:/.../my%20table/part-..."); local tooling passes
+    # plain paths. Parse real URIs with urllib so encoded characters
+    # round-trip (ADVICE r5: the bare prefix-strip produced relpaths
+    # like "../my%20table/part-..." that silently resolved to
+    # nonexistent files), and reject a non-empty netloc explicitly —
+    # "file://host/path" names a remote host, not a local path.
     if p.startswith("file:"):
-        p = p[len("file:"):]
-        # file://host/path and file:///path both reduce to /path locally
-        while p.startswith("//"):
-            p = p[1:]
+        parsed = urllib.parse.urlparse(p)
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"write_table: non-local file URI {p!r} (netloc "
+                f"{parsed.netloc!r}) cannot be resolved to a local path"
+            )
+        p = urllib.parse.unquote(parsed.path)
     return os.path.abspath(p)
 
 

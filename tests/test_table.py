@@ -104,6 +104,28 @@ class TestTable:
             z = grp["zkey"].to_numpy()
             assert (np.diff(z) >= 0).all()
 
+    def test_table_path_with_space_roundtrips(self, spark, tmp_path):
+        """r6 (ADVICE r5): Spark's inputFiles() percent-encodes URIs, so
+        a table path with a space must still yield manifest-relative
+        paths that resolve (the bare 'file:' prefix-strip produced
+        '../my%20table/...' entries that read_table silently resolved to
+        nonexistent files)."""
+        t = str(tmp_path / "my table dir" / "cov")
+        df = _coverage_like(spark)
+        write_table(df, t, ["tile_i", "tile_j"])
+        back = read_table(spark, t)
+        assert back.count() == df.count()
+        # the manifest must hold decoded, resolvable relative paths
+        from geo_polygonize_spark.sources.table import _load_snapshot
+
+        snap = _load_snapshot(t, 0)
+        assert snap["files"], "manifest lists no files"
+        for root, rel in snap["files"]:
+            assert "%" not in rel
+            import os
+
+            assert os.path.exists(os.path.join(t, root, rel)), rel
+
     def test_crashed_writer_files_invisible(self, spark, tmp_path):
         """Data files without a committing manifest are never read:
         simulate a crash-after-files-before-manifest by writing a
