@@ -935,10 +935,14 @@ def _presplit_long_segments(
     sbx2 = F.greatest("x1", "x2") + F.lit(eps)
     sby1 = F.least("y1", "y2") - F.lit(eps)
     sby2 = F.greatest("y1", "y2") + F.lit(eps)
-    i_lo = F.greatest(F.floor((sbx1 - F.lit(x0)) / F.lit(tile_size)), F.lit(0)).cast("int")
-    i_hi = F.least(F.floor((sbx2 - F.lit(x0)) / F.lit(tile_size)), F.lit(cols - 1)).cast("int")
-    j_lo = F.greatest(F.floor((sby1 - F.lit(y0)) / F.lit(tile_size)), F.lit(0)).cast("int")
-    j_hi = F.least(F.floor((sby2 - F.lit(y0)) / F.lit(tile_size)), F.lit(rows - 1)).cast("int")
+    # two-sided clamps: see stitch._tile_range_cols (descending-
+    # sequence hazard — out-of-grid segments collapse into the edge
+    # tile, where every mutually-intersecting out-of-grid pair still
+    # meets because clamping is monotone)
+    i_lo = F.least(F.greatest(F.floor((sbx1 - F.lit(x0)) / F.lit(tile_size)), F.lit(0)), F.lit(cols - 1)).cast("int")
+    i_hi = F.greatest(F.least(F.floor((sbx2 - F.lit(x0)) / F.lit(tile_size)), F.lit(cols - 1)), F.lit(0)).cast("int")
+    j_lo = F.least(F.greatest(F.floor((sby1 - F.lit(y0)) / F.lit(tile_size)), F.lit(0)), F.lit(rows - 1)).cast("int")
+    j_hi = F.greatest(F.least(F.floor((sby2 - F.lit(y0)) / F.lit(tile_size)), F.lit(rows - 1)), F.lit(0)).cast("int")
     assigned = seg_keyed.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi))).withColumn(
         "tile_j", F.explode(F.sequence(j_lo, j_hi))
     )
@@ -1177,10 +1181,12 @@ def chain_stitched_polygonize(
         tile_x0 = F.lit(x0) + F.col("tile_i").cast("double") * F.lit(tile_size)
         tile_y0 = F.lit(y0) + F.col("tile_j").cast("double") * F.lit(tile_size)
         side = F.lit(tile_size) / F.col("f")
-        si_lo = F.greatest(F.ceil((sbx1 - F.lit(buffer_eff) - tile_x0) / side - 1), F.lit(0)).cast("int")
-        si_hi = F.least(F.floor((sbx2 + F.lit(buffer_eff) - tile_x0) / side), F.col("f") - 1).cast("int")
-        sj_lo = F.greatest(F.ceil((sby1 - F.lit(buffer_eff) - tile_y0) / side - 1), F.lit(0)).cast("int")
-        sj_hi = F.least(F.floor((sby2 + F.lit(buffer_eff) - tile_y0) / side), F.col("f") - 1).cast("int")
+        # two-sided clamps: see stitch._tile_range_cols (descending-
+        # sequence hazard)
+        si_lo = F.least(F.greatest(F.ceil((sbx1 - F.lit(buffer_eff) - tile_x0) / side - 1), F.lit(0)), F.col("f") - 1).cast("int")
+        si_hi = F.greatest(F.least(F.floor((sbx2 + F.lit(buffer_eff) - tile_x0) / side), F.col("f") - 1), F.lit(0)).cast("int")
+        sj_lo = F.least(F.greatest(F.ceil((sby1 - F.lit(buffer_eff) - tile_y0) / side - 1), F.lit(0)), F.col("f") - 1).cast("int")
+        sj_hi = F.greatest(F.least(F.floor((sby2 + F.lit(buffer_eff) - tile_y0) / side), F.col("f") - 1), F.lit(0)).cast("int")
         assigned = assigned.withColumn("sub_i", F.explode(F.sequence(si_lo, si_hi))).withColumn(
             "sub_j", F.explode(F.sequence(sj_lo, sj_hi))
         )

@@ -170,10 +170,28 @@ def assign_tiles(
     by1 = F.least("y1", "y2")
     by2 = F.greatest("y1", "y2")
     ts = F.lit(tile_size)
-    i_lo = F.greatest(F.ceil((bx1 - F.lit(x0 + buffer)) / ts - 1), F.lit(0)).cast("int")
-    i_hi = F.least(F.floor((bx2 - F.lit(x0 - buffer)) / ts), F.lit(cols - 1)).cast("int")
-    j_lo = F.greatest(F.ceil((by1 - F.lit(y0 + buffer)) / ts - 1), F.lit(0)).cast("int")
-    j_hi = F.least(F.floor((by2 - F.lit(y0 - buffer)) / ts), F.lit(rows - 1)).cast("int")
+    # BOTH bounds clamp into [0, n-1] (r6): lo > hi previously made
+    # Spark's sequence() DESCEND, materializing phantom out-of-grid
+    # tiles for segments wholly outside the declared bbox — whose
+    # kernels then emitted polygons the documented contract (and the
+    # reference's bbox-derived grid, src/tiling.rs:42-58) says are
+    # dropped. Clamping collapses out-of-grid segments into the edge
+    # tile; their polygons' centroids stay outside every half-open
+    # core, so ownership drops them exactly as documented.
+    i_lo = F.least(
+        F.greatest(F.ceil((bx1 - F.lit(x0 + buffer)) / ts - 1), F.lit(0)),
+        F.lit(cols - 1),
+    ).cast("int")
+    i_hi = F.greatest(
+        F.least(F.floor((bx2 - F.lit(x0 - buffer)) / ts), F.lit(cols - 1)), F.lit(0)
+    ).cast("int")
+    j_lo = F.least(
+        F.greatest(F.ceil((by1 - F.lit(y0 + buffer)) / ts - 1), F.lit(0)),
+        F.lit(rows - 1),
+    ).cast("int")
+    j_hi = F.greatest(
+        F.least(F.floor((by2 - F.lit(y0 - buffer)) / ts), F.lit(rows - 1)), F.lit(0)
+    ).cast("int")
     return segments.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi))).withColumn(
         "tile_j", F.explode(F.sequence(j_lo, j_hi))
     )
@@ -225,10 +243,21 @@ def prepare_assigned(
     tile_x0 = F.lit(x0) + F.col("tile_i").cast("double") * ts
     tile_y0 = F.lit(y0) + F.col("tile_j").cast("double") * ts
     side = ts / F.col("f")
-    si_lo = F.greatest(F.ceil((bx1 - F.lit(buffer) - tile_x0) / side - 1), F.lit(0)).cast("int")
-    si_hi = F.least(F.floor((bx2 + F.lit(buffer) - tile_x0) / side), F.col("f") - 1).cast("int")
-    sj_lo = F.greatest(F.ceil((by1 - F.lit(buffer) - tile_y0) / side - 1), F.lit(0)).cast("int")
-    sj_hi = F.least(F.floor((by2 + F.lit(buffer) - tile_y0) / side), F.col("f") - 1).cast("int")
+    # two-sided clamps: see assign_tiles (descending-sequence hazard)
+    si_lo = F.least(
+        F.greatest(F.ceil((bx1 - F.lit(buffer) - tile_x0) / side - 1), F.lit(0)),
+        F.col("f") - 1,
+    ).cast("int")
+    si_hi = F.greatest(
+        F.least(F.floor((bx2 + F.lit(buffer) - tile_x0) / side), F.col("f") - 1), F.lit(0)
+    ).cast("int")
+    sj_lo = F.least(
+        F.greatest(F.ceil((by1 - F.lit(buffer) - tile_y0) / side - 1), F.lit(0)),
+        F.col("f") - 1,
+    ).cast("int")
+    sj_hi = F.greatest(
+        F.least(F.floor((by2 + F.lit(buffer) - tile_y0) / side), F.col("f") - 1), F.lit(0)
+    ).cast("int")
     assigned = assigned.withColumn("sub_i", F.explode(F.sequence(si_lo, si_hi))).withColumn(
         "sub_j", F.explode(F.sequence(sj_lo, sj_hi))
     )

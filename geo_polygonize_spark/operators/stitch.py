@@ -88,12 +88,37 @@ STITCH_KEY = ["tile_i", "tile_j", "f", "sub_i", "sub_j"]
 
 def _tile_range_cols(x0, y0, ts_k, buffer, cols, rows, bx1, by1, bx2, by2):
     """Covered-tile index ranges (boundary-inclusive) for a bbox on
-    the (x0, y0)-anchored grid of size ts_k with buffered windows."""
+    the (x0, y0)-anchored grid of size ts_k with buffered windows.
+
+    BOTH bounds clamp into [0, n-1] (r6): a bbox wholly outside the
+    grid previously produced lo > hi, and Spark's ``sequence(lo, hi)``
+    DESCENDS in that case instead of being empty — materializing
+    phantom out-of-grid tiles whose kernels owned and re-emitted
+    out-of-bbox rings once per level (caught by the promoted
+    cross-engine equivalence test: level emitted up to 4 copies of
+    each fully-overhanging ring). Two-sided clamping collapses
+    out-of-grid geometry into the edge tile — exactly the convention
+    the kernels' vertex-claim clips already use — and keeps the
+    pairwise-meet property: any two intersecting segments still share
+    the (clamped) tile of their intersection point, since clamping is
+    monotone."""
     ts_l = F.lit(ts_k)
-    i_lo = F.greatest(F.ceil((bx1 - F.lit(x0 + buffer)) / ts_l - 1), F.lit(0)).cast("int")
-    i_hi = F.least(F.floor((bx2 - F.lit(x0 - buffer)) / ts_l), F.lit(cols - 1)).cast("int")
-    j_lo = F.greatest(F.ceil((by1 - F.lit(y0 + buffer)) / ts_l - 1), F.lit(0)).cast("int")
-    j_hi = F.least(F.floor((by2 - F.lit(y0 - buffer)) / ts_l), F.lit(rows - 1)).cast("int")
+    i_lo = F.least(
+        F.greatest(F.ceil((bx1 - F.lit(x0 + buffer)) / ts_l - 1), F.lit(0)),
+        F.lit(cols - 1),
+    ).cast("int")
+    i_hi = F.greatest(
+        F.least(F.floor((bx2 - F.lit(x0 - buffer)) / ts_l), F.lit(cols - 1)),
+        F.lit(0),
+    ).cast("int")
+    j_lo = F.least(
+        F.greatest(F.ceil((by1 - F.lit(y0 + buffer)) / ts_l - 1), F.lit(0)),
+        F.lit(rows - 1),
+    ).cast("int")
+    j_hi = F.greatest(
+        F.least(F.floor((by2 - F.lit(y0 - buffer)) / ts_l), F.lit(rows - 1)),
+        F.lit(0),
+    ).cast("int")
     return i_lo, i_hi, j_lo, j_hi
 
 
@@ -268,10 +293,12 @@ def stitched_polygonize(
             tile_x0 = F.lit(x0) + F.col("tile_i").cast("double") * F.lit(ts_k)
             tile_y0 = F.lit(y0) + F.col("tile_j").cast("double") * F.lit(ts_k)
             side = F.lit(ts_k) / F.col("f")
-            si_lo = F.greatest(F.ceil((sbx1 - F.lit(buffer) - tile_x0) / side - 1), F.lit(0)).cast("int")
-            si_hi = F.least(F.floor((sbx2 + F.lit(buffer) - tile_x0) / side), F.col("f") - 1).cast("int")
-            sj_lo = F.greatest(F.ceil((sby1 - F.lit(buffer) - tile_y0) / side - 1), F.lit(0)).cast("int")
-            sj_hi = F.least(F.floor((sby2 + F.lit(buffer) - tile_y0) / side), F.col("f") - 1).cast("int")
+            # two-sided clamps: see _tile_range_cols (descending-
+            # sequence hazard)
+            si_lo = F.least(F.greatest(F.ceil((sbx1 - F.lit(buffer) - tile_x0) / side - 1), F.lit(0)), F.col("f") - 1).cast("int")
+            si_hi = F.greatest(F.least(F.floor((sbx2 + F.lit(buffer) - tile_x0) / side), F.col("f") - 1), F.lit(0)).cast("int")
+            sj_lo = F.least(F.greatest(F.ceil((sby1 - F.lit(buffer) - tile_y0) / side - 1), F.lit(0)), F.col("f") - 1).cast("int")
+            sj_hi = F.greatest(F.least(F.floor((sby2 + F.lit(buffer) - tile_y0) / side), F.col("f") - 1), F.lit(0)).cast("int")
             assigned = assigned.withColumn("sub_i", F.explode(F.sequence(si_lo, si_hi))).withColumn(
                 "sub_j", F.explode(F.sequence(sj_lo, sj_hi))
             )

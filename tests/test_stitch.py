@@ -142,6 +142,82 @@ def test_stitched_far_from_origin(spark):
     assert all(abs(r["area"] - 1.0) < 1e-5 for r in got)
 
 
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_cross_engine_equivalence_random(spark, seed):
+    """r6 (VERDICT r5 #3): the generic cross-engine instrument that
+    caught the r5 bbox-overhang bug, promoted from scripts/cold_ab.py
+    into CI. Random linework with a randomized segment-length regime
+    and bbox overhang (the r5 bug's trigger class); single-group ground
+    truth vs level(pruned)/chain/auto on value-level canonical keys,
+    and tiled's deficit must consist ONLY of polygons its owner-tile
+    buffered window provably cannot produce (the documented
+    bounded-window contract, reference src/tiling.rs:66-106)."""
+    from collections import Counter
+
+    rng = np.random.default_rng(seed)
+    nl = 600
+    scale = float(rng.choice([6.0, 18.0, 40.0]))  # segment-length regime
+    over = float(rng.choice([0.0, 30.0]))  # input overhang past the bbox
+    pts = rng.uniform(-over, 120.0 + over, size=(nl, 2))
+    ang = rng.uniform(0, 2 * np.pi, nl)
+    ln = rng.uniform(0.3 * scale, scale, nl)
+    xs = [[p[0], p[0] + l * np.cos(a)] for p, a, l in zip(pts, ang, ln)]
+    ys = [[p[1], p[1] + l * np.sin(a)] for p, a, l in zip(pts, ang, ln)]
+    df = lines_to_df(spark, xs, ys)
+    bbox = (0.0, 0.0, 120.0, 120.0)
+    ts_, buf = 24.0, 1.5
+
+    want_rows = polygonize(df, node_input=True, drop_collapsed=True).collect()
+    want = keyset(want_rows)
+    assert want, "degenerate fixture: ground truth produced no polygons"
+
+    for kwargs in (
+        {"strategy": "level", "escalation": "pruned"},
+        {"strategy": "chain"},
+        {"strategy": "auto"},
+    ):
+        got = stitched_polygonize(
+            df, tile_size=ts_, buffer=buf, bbox=bbox, drop_collapsed=True, **kwargs
+        ).collect()
+        assert keyset(got) == want, (kwargs, seed, scale, over)
+
+    tiled_rows = tiled_polygonize(
+        df, tile_size=ts_, buffer=buf, bbox=bbox, drop_collapsed=True
+    ).collect()
+    tset = keyset(tiled_rows)
+    # tiled never invents polygons the global trace lacks
+    assert not (Counter(tset) - Counter(want)), (seed, scale, over)
+
+    def key_of(r):
+        return (round(r["cx"], 6), round(r["cy"], 6), round(r["area"], 6), r["n_holes"])
+
+    x0b, y0b, x1b, y1b = bbox
+    cols = int(np.ceil((x1b - x0b) / ts_))
+    rows_n = int(np.ceil((y1b - y0b) / ts_))
+    by_key: dict = {}
+    for r in want_rows:
+        by_key.setdefault(key_of(r), []).append(r)
+    missing = Counter(want) - Counter(tset)
+    for k_, cnt in missing.items():
+        for r in by_key[k_][:cnt]:
+            sx = np.asarray(r["shell_xs"], np.float64)
+            sy = np.asarray(r["shell_ys"], np.float64)
+            i = int(np.floor((r["cx"] - x0b) / ts_))
+            j = int(np.floor((r["cy"] - y0b) / ts_))
+            in_grid = 0 <= i < cols and 0 <= j < rows_n
+            fits_owner_window = (
+                in_grid
+                and sx.min() >= x0b + i * ts_ - buf
+                and sx.max() <= x0b + (i + 1) * ts_ + buf
+                and sy.min() >= y0b + j * ts_ - buf
+                and sy.max() <= y0b + (j + 1) * ts_ + buf
+            )
+            assert not fits_owner_window, (
+                "tiled dropped a polygon its owner window fully contains",
+                k_, seed, scale, over,
+            )
+
+
 def test_stitched_dangle_only_input(spark):
     # open segments only: no rings anywhere; every trace either prunes
     # or escapes, assembly of an empty ring set must return cleanly
