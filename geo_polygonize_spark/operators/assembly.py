@@ -730,6 +730,150 @@ def _finish_assignments(
     )
     winners = finals.unionByName(deferred)
 
+    # r6 (guide §2.4/§5 — no driver loop in the query path when nothing
+    # forces one): with no early-release obligation the whole finish
+    # folds into the caller's single action. The old shape ran ONE
+    # separate aggregate job (collect) to fetch per-candidate hole sums
+    # — a full materialization of the kernel-output checkpoint plus ~5
+    # AQE stage waves (measured 1.3-2.6 s at grid-400, for a handful of
+    # rows) — then re-built the same aggregate as broadcast joins. Here
+    # the per-candidate aggregate joins the emitted polygons and the
+    # (driver-known) global shells directly inside the returned plan;
+    # the two joins reference the same aggregate subtree, so the
+    # exchange is planned once and reused.
+    if release is None:
+        if merged_coord_rows:
+            mcdf = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "h_rid": pd.Series(
+                            [int(r["rid"]) for r in merged_coord_rows], dtype="int64"
+                        ),
+                        "m_xs": pd.Series(
+                            [r["xs"] for r in merged_coord_rows], dtype=object
+                        ),
+                        "m_ys": pd.Series(
+                            [r["ys"] for r in merged_coord_rows], dtype=object
+                        ),
+                    }
+                ),
+                "h_rid long, m_xs array<double>, m_ys array<double>",
+            )
+            winners = (
+                winners.join(F.broadcast(mcdf), "h_rid", "left")
+                .withColumn("h_xs", F.coalesce("h_xs", "m_xs"))
+                .withColumn("h_ys", F.coalesce("h_ys", "m_ys"))
+                .drop("m_xs", "m_ys")
+            )
+        pagg = (
+            winners.groupBy("cand_rid")
+            .agg(
+                F.collect_list("h_xs").alias("p_xs"),
+                F.collect_list("h_ys").alias("p_ys"),
+                F.sum("h_area").alias("p_sum"),
+                F.count("*").alias("p_n"),
+            )
+            .withColumnRenamed("cand_rid", "rid")
+        )
+        # local-shell winners patch onto emitted polygons (rare); global
+        # candidate rids never match a K_POLY rid, so no pre-split of
+        # the aggregate is needed
+        polys = (
+            polys.join(F.broadcast(pagg), "rid", "left")
+            .withColumn(
+                "hole_xs",
+                F.when(F.col("p_xs").isNotNull(),
+                       F.concat("hole_xs", "p_xs")).otherwise(F.col("hole_xs")),
+            )
+            .withColumn(
+                "hole_ys",
+                F.when(F.col("p_ys").isNotNull(),
+                       F.concat("hole_ys", "p_ys")).otherwise(F.col("hole_ys")),
+            )
+            .withColumn(
+                "net_area", F.col("net_area") - F.coalesce("p_sum", F.lit(0.0))
+            )
+            .withColumn(
+                "n_holes",
+                (F.col("n_holes") + F.coalesce("p_n", F.lit(0))).cast("int"),
+            )
+            .drop("p_xs", "p_ys", "p_sum", "p_n")
+        )
+        if bypass_polys is not None:
+            # identity rows of plain cores/tiles: never patch targets
+            # (callers' argument), so they union in AFTER the patch join
+            polys = polys.select(
+                *[f.name for f in SPLIT_SCHEMA.fields]
+            ).unionByName(bypass_polys)
+        if drop_collapsed:
+            polys = polys.where(F.col("net_area") > 1e-6)
+
+        gpolys = None
+        if gshells:
+            gpdf = pd.DataFrame(
+                {
+                    "rid": pd.Series(
+                        [int(r["rid"]) for r, _ in gshells], dtype="int64"
+                    ),
+                    "shell_xs": pd.Series(
+                        [list(r["xs"])[::-1] if prom else list(r["xs"])
+                         for r, prom in gshells], dtype=object),
+                    "shell_ys": pd.Series(
+                        [list(r["ys"])[::-1] if prom else list(r["ys"])
+                         for r, prom in gshells], dtype=object),
+                    "s_area": pd.Series(
+                        [abs(float(r["area"])) for r, _ in gshells], dtype="float64"
+                    ),
+                    "cx": pd.Series(
+                        [float(r["cx"]) for r, _ in gshells], dtype="float64"
+                    ),
+                    "cy": pd.Series(
+                        [float(r["cy"]) for r, _ in gshells], dtype="float64"
+                    ),
+                }
+            )
+            gbase = spark.createDataFrame(
+                gpdf,
+                "rid long, shell_xs array<double>, shell_ys array<double>, "
+                "s_area double, cx double, cy double",
+            )
+            gpolys = (
+                gbase.join(F.broadcast(pagg), "rid", "left")
+                .select(
+                    "rid", "shell_xs", "shell_ys",
+                    F.col("p_xs").alias("hole_xs"),
+                    F.col("p_ys").alias("hole_ys"),
+                    F.coalesce("p_n", F.lit(0)).cast("int").alias("n_holes"),
+                    (F.col("s_area") - F.coalesce("p_sum", F.lit(0.0))).alias(
+                        "net_area"
+                    ),
+                    "cx", "cy",
+                )
+            )
+            if drop_collapsed:
+                gpolys = gpolys.where(F.col("net_area") > 1e-6)
+
+        final_cols = [
+            F.lit(-2).cast("int").alias("tile_i"),  # stitched marker
+            F.lit(-2).cast("int").alias("tile_j"),
+            F.col("rid").alias("poly_id"),
+            "shell_xs", "shell_ys",
+            F.coalesce(
+                "hole_xs", F.array().cast("array<array<double>>")
+            ).alias("hole_xs"),
+            F.coalesce(
+                "hole_ys", F.array().cast("array<array<double>>")
+            ).alias("hole_ys"),
+            "n_holes",
+            F.col("net_area").alias("area"),
+            "cx", "cy",
+        ]
+        result = polys.select(*final_cols)
+        if gpolys is not None:
+            result = result.unionByName(gpolys.select(*final_cols))
+        _fmark("inplan_build")
+        return result
+
     # ONE aggregate job over the (narrow) winner rows serves both the
     # global-shell nets AND the local-winner detection: the distinct
     # target count is ≤ |global shells| + |rare local winners|, so the

@@ -220,6 +220,56 @@ def stitched_polygonize(
     spark = lines_df.sparkSession
     n_parts = max(int(spark.sparkContext.defaultParallelism) * 2, 16)
 
+    # r6 (guide §1.2/§2.3 — fewer passes, shuffle fewer bytes): split
+    # long segments to feature scale BEFORE the level chain, exactly as
+    # the chain engine does. Without it, full-extent construction lines
+    # defeat the beacon-pruned escalation on lattices: the level-(k≥1)
+    # kernel clips each segment to the param-interval HULL of its
+    # beacon-box intersections, and a line crossing many boundary
+    # strips keeps nearly its whole span — so every level re-noded and
+    # re-traced close to the full linework (measured: levels 1-3 cost
+    # ~2× level 0 at grid-400). With unit-scale pieces the clip is
+    # tight and escalation input really is boundary-volume. Exactness:
+    # _presplit_long_segments is round 1 of the global noder on the
+    # same snapped/normalized/deduplicated input, so every window's
+    # noding converges to the identical global fixpoint (the same
+    # argument — and helper — as chain_stitch). Env-gated for A/B.
+    _own_caches: list = []
+    _presplit_file = None
+    _did_presplit = False
+    if _segments is None:
+        _own_caches.append(segments)
+    n_segments: int | None = None
+    seg_len_c = F.sqrt(
+        (F.col("x2") - F.col("x1")) ** 2 + (F.col("y2") - F.col("y1")) ** 2
+    )
+    _st_row = segments.agg(
+        F.max(seg_len_c).alias("l"), F.count("*").alias("n")
+    ).collect()[0]
+    l_max = float(_st_row["l"] or 0.0)
+    n_segments = int(_st_row["n"])
+    _t = _prof("level/seg_stats", _t)
+    if _os.environ.get("SPARK_GRAFT_LEVEL_PRESPLIT", "0") != "0":
+        if (l_max / tile_size) ** 2 >= 32.0:
+            from .chain_stitch import _presplit_long_segments
+
+            split_df, _split_stats, _aux_cache, _presplit_file = (
+                _presplit_long_segments(
+                    segments, tile_size, x0, y0, x1g, y1g, snap_grid,
+                    n_segments=n_segments,
+                )
+            )
+            segments = split_df.persist()
+            _did_presplit = True
+            _own_caches.append(segments)
+            if _aux_cache is not None:
+                _own_caches.append(_aux_cache)
+            # post-split count: known free on the driver fast path;
+            # unknown on the distributed path (level needs no l_max,
+            # so don't pay an extra agg — just let the factor job run)
+            n_segments = _split_stats[1] if _split_stats is not None else None
+            _t = _prof("level/presplit", _t)
+
     sbx1 = F.least("x1", "x2")
     sbx2 = F.greatest("x1", "x2")
     sby1 = F.least("y1", "y2")
@@ -232,9 +282,17 @@ def stitched_polygonize(
     # cost tiled_polygonize pays. Levels ≥ 1 process beacon-pruned
     # escalation regions only, so they run unsplit (and the FINAL
     # level must never split: its single window covers the bbox, so
-    # nothing can escape it).
+    # nothing can escape it). r6: a tile's window count is bounded by
+    # the total segment count, so when the whole input is below the
+    # hot-tile threshold no tile can be hot — skip the count job
+    # (the chain engine's gate; saves a full stage wave on small and
+    # lattice inputs).
     factors: dict[tuple[int, int], int] = {}
-    if max_segments_per_tile is not None and n_levels > 1:
+    if (
+        max_segments_per_tile is not None
+        and n_levels > 1
+        and (n_segments is None or n_segments > max_segments_per_tile)
+    ):
         cols0 = max(int(np.ceil((x1g - x0) / tile_size)), 1)
         rows0 = max(int(np.ceil((y1g - y0) / tile_size)), 1)
         i_lo, i_hi, j_lo, j_hi = _tile_range_cols(
@@ -267,15 +325,71 @@ def stitched_polygonize(
     level_outs = []  # persisted per-level kernel outputs (released below)
     active = None  # level-k tile keys to process; None = all (level 0)
     region = None  # level-k beacon-box rows (escalation="pruned")
-    for k in range(n_levels):
+    region_cells = None  # fine-grid cover of the beacon boxes (r6 prune)
+    fine = tile_size / 8.0
+    # r6 ladder compression (guide §1.2 — fewer passes): escalate
+    # 0 → 1 → final instead of doubling through every intermediate
+    # size. Each intermediate level re-nodes and re-traces its whole
+    # active region (the interval-hull clip is load-bearing: keeping
+    # the linework BETWEEN box hits is what subdivides would-be
+    # spurious faces of a partial subgraph, so escalated input can
+    # never be thinned to the beacon strips alone), and on every
+    # measured workload escalation either dies after level 1 (local
+    # inputs — the final rung then costs zero: its active set is
+    # empty) or never decays (closed lattice networks — window-hull
+    # escapes re-beacon at every size, so levels between 1 and final
+    # re-traced everything and emitted nothing, measured 0.9-2.9 s
+    # each at grid-400). Exactness is ladder-agnostic: the soundness
+    # chain (3b) only needs nested grids + a complete final window,
+    # the minimal-level skip is parameterized by the PREDECESSOR RUNG
+    # (a ring fitting only between the rungs emits exactly once at the
+    # final level), and rid = canonical ring hash is level-independent
+    # — pinned by the cross-engine equivalence test. Env knob restores
+    # the full ladder for A/B.
+    if n_levels > 3 and _os.environ.get("SPARK_GRAFT_LEVEL_LADDER", "") != "full":
+        ladder = [0, 1, n_levels - 1]
+    else:
+        ladder = list(range(n_levels))
+    for idx, k in enumerate(ladder):
         ts_k = tile_size * (2.0**k)
         cols = max(int(np.ceil((x1g - x0) / ts_k)), 1)
         rows = max(int(np.ceil((y1g - y0) / ts_k)), 1)
 
+        src = segments
+        if region_cells is not None:
+            # r6 pre-SHUFFLE prune (guide §2.3 — shuffle fewer bytes):
+            # a level-k kernel clips its input to the fattened beacon
+            # boxes anyway, so only segments whose bbox can intersect a
+            # box need to ship. Membership test on a fine grid
+            # (tile_size/8 ≈ strip width): two intersecting rectangles
+            # share a point, hence share the fine cell containing it,
+            # so cell-cover overlap is a sound superset of
+            # bbox-intersect (box covers padded one cell for float
+            # slack). Only used after a presplit (feature-scale
+            # segments — a full-extent line would cover O(extent/fine)
+            # cells and defeat the prune). Duplicate survivors (one per
+            # matching cell) are exact duplicates and the kernel's
+            # node_segments dedups them bit-identically. Without this,
+            # the FINAL level's single task serially received the
+            # entire split segment set through one exchange partition
+            # (measured: 4-7 s at grid-400) just to clip ~90% away.
+            sfi_lo = F.floor((sbx1 - F.lit(x0)) / F.lit(fine)).cast("long")
+            sfi_hi = F.floor((sbx2 - F.lit(x0)) / F.lit(fine)).cast("long")
+            sfj_lo = F.floor((sby1 - F.lit(y0)) / F.lit(fine)).cast("long")
+            sfj_hi = F.floor((sby2 - F.lit(y0)) / F.lit(fine)).cast("long")
+            src = (
+                segments.withColumn("_fi", F.explode(F.sequence(sfi_lo, sfi_hi)))
+                .withColumn("_fj", F.explode(F.sequence(sfj_lo, sfj_hi)))
+                .withColumn(
+                    "_fc", F.col("_fi") * F.lit(4294967296) + F.col("_fj")
+                )
+                .join(F.broadcast(region_cells), "_fc", "left_semi")
+                .drop("_fi", "_fj", "_fc")
+            )
         i_lo, i_hi, j_lo, j_hi = _tile_range_cols(
             x0, y0, ts_k, buffer, cols, rows, sbx1, sby1, sbx2, sby2
         )
-        assigned = segments.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi))).withColumn(
+        assigned = src.withColumn("tile_i", F.explode(F.sequence(i_lo, i_hi))).withColumn(
             "tile_j", F.explode(F.sequence(j_lo, j_hi))
         )
         if active is not None:
@@ -332,9 +446,13 @@ def stitched_polygonize(
             assigned = assigned.repartition(
                 min(cols * rows, n_parts), *STITCH_KEY
             )
-        prev_factors = None if k == 0 else (factors if k == 1 else {})
-        if k > 0:
-            ts_p = tile_size * (2.0 ** (k - 1))
+        # predecessor semantics follow the LADDER, not k-1: the
+        # minimal-level skip must test the rung that actually ran
+        prev_factors = (
+            None if idx == 0 else (factors if ladder[idx - 1] == 0 else {})
+        )
+        if idx > 0:
+            ts_p = tile_size * (2.0 ** ladder[idx - 1])
             prev_grid = (
                 max(int(np.ceil((x1g - x0) / ts_p)), 1),
                 max(int(np.ceil((y1g - y0) / ts_p)), 1),
@@ -344,17 +462,24 @@ def stitched_polygonize(
         kernel = _make_ring_kernel(
             x0, y0, float(ts_k), k, buffer, snap_grid, k_factors, prev_factors,
             is_final=(k == n_levels - 1), prev_grid=prev_grid, grid=(cols, rows),
+            prev_ts=(None if idx == 0 else tile_size * (2.0 ** ladder[idx - 1])),
         )
         out = assigned.groupBy(*STITCH_KEY).applyInPandas(kernel, RING_SCHEMA).persist()
+        if _os.environ.get("SPARK_GRAFT_LEVEL_PROF"):
+            # per-level attribution (profiling only): force this level's
+            # cache now so the phase print isolates its cost; the later
+            # eager ring checkpoint then reads the caches
+            n_lv = out.count()
+            _t = _prof(f"level/L{k} (rows={n_lv})", _t)
         level_outs.append(out)
         level_rings.append(out.where(~F.col("beacon")))
 
-        if k + 1 >= n_levels:
+        if idx + 1 >= len(ladder):
             break
-        # level-(k+1) active tiles: every tile whose buffered window
+        # next-rung active tiles: every tile whose buffered window
         # intersects a level-k beacon bbox — distributed, lazy
         beacons = out.where(F.col("beacon")).select("bx1", "by1", "bx2", "by2")
-        ts_n = ts_k * 2.0
+        ts_n = tile_size * (2.0 ** ladder[idx + 1])
         cols_n = max(int(np.ceil((x1g - x0) / ts_n)), 1)
         rows_n = max(int(np.ceil((y1g - y0) / ts_n)), 1)
         bi_lo, bi_hi, bj_lo, bj_hi = _tile_range_cols(
@@ -383,6 +508,35 @@ def stitched_polygonize(
                 F.col("by2").alias("y2"),
                 F.lit(True).alias("is_box"),
             ).coalesce(1)
+            if _did_presplit:
+                # fine-grid cover of the FATTENED boxes (same pad the
+                # kernel clip uses, plus one cell of float slack each
+                # side) — drives the pre-shuffle segment prune above
+                fpad = buffer + 4.0 * snap_grid
+                bfi_lo = (
+                    F.floor((F.col("bx1") - F.lit(x0) - F.lit(fpad)) / F.lit(fine))
+                    .cast("long") - 1
+                )
+                bfi_hi = (
+                    F.floor((F.col("bx2") - F.lit(x0) + F.lit(fpad)) / F.lit(fine))
+                    .cast("long") + 1
+                )
+                bfj_lo = (
+                    F.floor((F.col("by1") - F.lit(y0) - F.lit(fpad)) / F.lit(fine))
+                    .cast("long") - 1
+                )
+                bfj_hi = (
+                    F.floor((F.col("by2") - F.lit(y0) + F.lit(fpad)) / F.lit(fine))
+                    .cast("long") + 1
+                )
+                region_cells = (
+                    beacons.withColumn("_fi", F.explode(F.sequence(bfi_lo, bfi_hi)))
+                    .withColumn("_fj", F.explode(F.sequence(bfj_lo, bfj_hi)))
+                    .select(
+                        (F.col("_fi") * F.lit(4294967296) + F.col("_fj")).alias("_fc")
+                    )
+                    .distinct()
+                )
 
     rings = level_rings[0]
     for df in level_rings[1:]:
@@ -412,11 +566,17 @@ def stitched_polygonize(
     # leaves no CacheManager entry to plan-match a later run.
     rings = rings.localCheckpoint(eager=True)
     # the checkpoint holds the data now — the per-level kernel caches
-    # (and the segment cache) are dead weight from here on
+    # (and the segment/presplit caches + the driver pre-split parquet
+    # handoff, if any) are dead weight from here on
     for o in level_outs:
         o.unpersist()
-    if _segments is None:
-        segments.unpersist()
+    for c in _own_caches:
+        c.unpersist()
+    if _presplit_file is not None:
+        try:
+            _os.remove(_presplit_file)
+        except OSError:
+            pass
     if _os.environ.get("SPARK_GRAFT_PROFILE"):
         # force the whole lazy level chain here so the phase split is
         # levels+trace vs assembly (rings is persisted — the count the
@@ -536,7 +696,7 @@ def _clip_segments_to_region(x1, y1, x2, y2, boxes):
 
 
 def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_factors=None,
-                      is_final=False, prev_grid=None, grid=None):
+                      is_final=False, prev_grid=None, grid=None, prev_ts=None):
     """Per-(sub-)tile trace kernel. ``factors``: this level's hot-tile
     split map {(tile_i, tile_j): f} — closed over so EVERY tracer
     derives the same owner sub-window for a given ring (3c).
@@ -567,6 +727,11 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
     sparse-60k find)."""
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        import time as _time
+
+        _kt0 = _time.time()
+        _kn_in = len(pdf)
         tile_i, tile_j, f, sub_i, sub_j = (int(v) for v in key)
         side = ts_py / f
         core_x0 = x0 + tile_i * ts_py + sub_i * side
@@ -794,7 +959,13 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
         is_beacon = valid & inwin & ~degen & ~fits_owner
         emit = valid & inwin & ~degen & fits_owner
         if prev_factors is not None:
-            prev_owner, fits_prev = owner_fit(ts_py / 2.0, prev_factors)
+            # predecessor RUNG size, not ts/2: with the compressed
+            # ladder the final rung's predecessor is level 1, and
+            # skipping on a never-run intermediate grid would silently
+            # drop every ring that fits it
+            prev_owner, fits_prev = owner_fit(
+                ts_py / 2.0 if prev_ts is None else prev_ts, prev_factors
+            )
             if prev_grid is not None:
                 # a numerically-fitting owner OUTSIDE level k-1's
                 # clamped grid was never processed — don't skip on it
@@ -818,6 +989,13 @@ def _make_ring_kernel(x0, y0, ts_py, level, buffer, snap_grid, factors, prev_fac
             ys_out.append(np.concatenate((yr[o : o + l], yr[o : o + 1])))
         n_bc = bc.size + rbx1.size
         n_out = em.size + n_bc
+        if _os.environ.get("SPARK_GRAFT_KERNEL_PROF"):
+            print(
+                f"KPROF L{level} tile=({tile_i},{tile_j}) in={_kn_in} "
+                f"clip={sx1.size} rings={n} emit={em.size} bc={n_bc} "
+                f"dt={_time.time() - _kt0:.3f}",
+                flush=True,
+            )
         obj = lambda v: pd.Series(v, dtype=object)
         zeros_bc = np.zeros(n_bc)
         return pd.DataFrame(

@@ -264,3 +264,29 @@ def test_stitched_exact_when_input_overhangs_bbox(spark):
             df, tile_size=20.0, buffer=1.5, bbox=bbox, drop_collapsed=True, **kwargs
         ).collect()
         assert keyset(got) == keyset(want), kwargs
+
+
+def test_level_ladder_jump_emits_skipped_rung_rings(spark):
+    """r6 ladder compression (stitch.py escalates 0 -> 1 -> final): a
+    ring whose bbox fits ONLY an intermediate rung's window (here the
+    old level-2 grid, which the compressed ladder never runs) must
+    still be emitted exactly once — at the final rung, because the
+    minimal-level skip tests the PREDECESSOR RUNG (level 1), not ts/2.
+    A ts/2 regression would skip it as "already emitted" and lose it."""
+    # bbox 64, tile 4 -> n_levels=5, ladder [0, 1, 4]
+    n = 16  # 4-unit cells on [0,64]
+    gx, gy = grid_lines(n)
+    gx = [x * 4.0 for x in gx]
+    gy = [y * 4.0 for y in gy]
+    # square of side 12 at (21,21)-(33,33): fits its level-2 owner
+    # window ([14.5, 33.5] at buffer 1.5) but no level-0/1 window
+    sqx = np.array([21.0, 33.0, 33.0, 21.0, 21.0])
+    sqy = np.array([21.0, 21.0, 33.0, 33.0, 21.0])
+    df = lines_to_df(spark, gx + [sqx], gy + [sqy])
+    bbox = (0.0, 0.0, 64.0, 64.0)
+    want = polygonize(df, node_input=True, drop_collapsed=True).collect()
+    got = stitched_polygonize(
+        df, tile_size=4.0, buffer=1.5, bbox=bbox, drop_collapsed=True,
+        strategy="level",
+    ).collect()
+    assert keyset(got) == keyset(want)
