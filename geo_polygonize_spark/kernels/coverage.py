@@ -19,14 +19,45 @@ from __future__ import annotations
 
 import numpy as np
 
+_U32 = float(2.0**-24)  # f32 unit roundoff
+
+
+def _local_f32(fx, fy, off, bx1, bx2, by1, by2):
+    """Ring-local float32 mirror: per-ring f64 bbox centers, f32
+    center-relative coordinates, and a per-ring extent bound E (max
+    |local coord|, f64) that drives the certification thresholds."""
+    cx = (bx1 + bx2) * 0.5
+    cy = (by1 + by2) * 0.5
+    n = bx1.size
+    lens = np.diff(off)
+    ring_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    lx = fx - cx[ring_of]
+    ly = fy - cy[ring_of]
+    E = np.maximum((bx2 - bx1), (by2 - by1)) * 0.5 + 1e-300
+    return cx, cy, lx.astype(np.float32), ly.astype(np.float32), E
+
 
 class CoverageIndex:
-    def __init__(self, polys: list[dict], cell_size: float | None = None):
+    def __init__(
+        self, polys: list[dict], cell_size: float | None = None,
+        use_f32: bool | None = None,
+    ):
         """polys: list of dicts with keys tile_i, tile_j, poly_id,
         shell_xs, shell_ys, hole_xs, hole_ys, area (the POLYGON_SCHEMA
-        row layout)."""
+        row layout). ``use_f32``: evaluate the ray cast on the f32
+        ring-local mirror with the certified exact fallback — results
+        are bit-identical either way, only the traffic/compute balance
+        differs. Measured (64M-record stream, pinned, interleaved):
+        f32 wins ~1.4× at 32 cores (bandwidth-ceiling regime) and
+        LOSES ~1.4× at 8 pinned cores (compute-bound — the
+        certification arithmetic roughly doubles the instruction
+        count). None = auto: callers that know the deployment's
+        parallelism (broadcast_coverage_index / pip_join_broadcast)
+        resolve it as parallelism ≥ 16; a bare constructor defaults to
+        the wide-deployment choice (True)."""
         n = len(polys)
         self.n = n
+        self.use_f32 = True if use_f32 is None else bool(use_f32)
         self.tile_i = np.asarray([p["tile_i"] for p in polys], dtype=np.int32)
         self.tile_j = np.asarray([p["tile_j"] for p in polys], dtype=np.int32)
         self.poly_id = np.asarray([p["poly_id"] for p in polys], dtype=np.int64)
@@ -66,6 +97,32 @@ class CoverageIndex:
             self.by2 = np.maximum.reduceat(self.sy, self.soff[:-1])
         else:
             self.bx1 = self.bx2 = self.by1 = self.by2 = np.empty(0)
+
+        # r6 memory diet (8v32 scaling: the 32-core stream is
+        # bandwidth-ceiling-bound, BENCH_SCALING r5): a float32
+        # RING-LOCAL mirror of the coordinates halves the ray cast's
+        # gather + arithmetic traffic. Coordinates are stored relative
+        # to each ring's bbox center, so rounding error scales with the
+        # RING extent, not the global extent; the query evaluates the
+        # f32 mirror first and re-evaluates only pairs whose decision
+        # is not CERTIFIED (any edge term within a conservative error
+        # bound) with the exact same f64 expression as before — results
+        # are bit-identical to the pure-f64 path by construction.
+        self.scx, self.scy, self.sx32, self.sy32, self.sE = _local_f32(
+            self.sx, self.sy, self.soff, self.bx1, self.bx2, self.by1, self.by2
+        )
+        if self.hx.size:
+            hb1 = np.minimum.reduceat(self.hx, self.hoff[:-1])
+            hb2 = np.maximum.reduceat(self.hx, self.hoff[:-1])
+            hc1 = np.minimum.reduceat(self.hy, self.hoff[:-1])
+            hc2 = np.maximum.reduceat(self.hy, self.hoff[:-1])
+            self.hcx, self.hcy, self.hx32, self.hy32, self.hE = _local_f32(
+                self.hx, self.hy, self.hoff, hb1, hb2, hc1, hc2
+            )
+        else:
+            self.hcx = self.hcy = np.empty(0)
+            self.hx32 = self.hy32 = np.empty(0, np.float32)
+            self.hE = np.empty(0)
 
         # cell grid (CSR buckets of polygon ids per covered cell)
         if n:
@@ -127,6 +184,72 @@ class CoverageIndex:
                 inside[sel] = (crossings % 2).astype(bool)
         return inside
 
+    def _ray_cast_pairs_fast(
+        self, px, py, ridx, flat_x, flat_y, off, length, cx, cy, lx32, ly32, E
+    ):
+        """f32 ring-local ray cast with a certified error filter.
+
+        Terms are evaluated on the float32 center-relative mirror, so
+        every input magnitude is bounded by B = max(ring half-extent,
+        |local probe|); a comparison can disagree with the f64
+        evaluation only when the compared quantities lie within a few
+        ulps of each other at that scale. Conservative thresholds
+        (8·u·B for the linear terms, 64·u·B² for the cross-product
+        comparison, u = 2^-24 — both ≥ 2× a worst-case forward error
+        analysis of the f32 expressions vs the f64 ones) route every
+        uncertain PAIR to the exact f64 path, so the combined result is
+        bit-identical to ``_ray_cast_pairs`` on all inputs. Probes more
+        than ~B·5e-7 from every edge (every realistic probe — snapped
+        coverages and quantized probe grids sit orders of magnitude
+        further) never take the fallback, and the hot loop moves half
+        the bytes of the f64 path."""
+        inside = np.zeros(ridx.size, dtype=bool)
+        if ridx.size == 0:
+            return inside
+        pl = length[ridx]
+        pxl64 = px - cx[ridx]
+        pyl64 = py - cy[ridx]
+        B = np.maximum(np.maximum(np.abs(pxl64), np.abs(pyl64)), E[ridx])
+        pxl = pxl64.astype(np.float32)
+        pyl = pyl64.astype(np.float32)
+        unc_rows = []
+        for L in np.unique(pl):
+            sel_all = np.flatnonzero(pl == L)
+            step = max(int(8_000_000 // max(L, 1)), 64)
+            for s0 in range(0, sel_all.size, step):
+                sel = sel_all[s0 : s0 + step]
+                base = off[ridx[sel]][:, None] + np.arange(L)[None, :]
+                X = lx32[base]
+                Y = ly32[base]
+                x1, x2 = X[:, :-1], X[:, 1:]
+                y1, y2 = Y[:, :-1], Y[:, 1:]
+                pyv = pyl[sel][:, None]
+                pxv = pxl[sel][:, None]
+                dy = y2 - y1
+                straddle = (y1 > pyv) != (y2 > pyv)
+                lhs = (pxv - x1) * dy
+                rhs = (x2 - x1) * (pyv - y1)
+                cross = straddle & ((lhs < rhs) == (dy > np.float32(0.0)))
+                inside[sel] = (np.count_nonzero(cross, axis=1) % 2).astype(bool)
+                Bv = B[sel][:, None].astype(np.float32)
+                ty = np.float32(8.0 * _U32) * Bv
+                tau = np.float32(64.0 * _U32) * Bv * Bv
+                unc_edge = (
+                    (np.abs(y1 - pyv) <= ty)
+                    | (np.abs(y2 - pyv) <= ty)
+                    | (np.abs(dy) <= ty)
+                    | (np.abs(lhs - rhs) <= tau)
+                )
+                u_rows = sel[unc_edge.any(axis=1)]
+                if u_rows.size:
+                    unc_rows.append(u_rows)
+        if unc_rows:
+            ur = np.concatenate(unc_rows)
+            inside[ur] = self._ray_cast_pairs(
+                px[ur], py[ur], ridx[ur], flat_x, flat_y, off, length
+            )
+        return inside
+
     def query(self, px: np.ndarray, py: np.ndarray):
         """Smallest containing polygon per point (even-odd incl. holes,
         argmin by area — reference polygonizer.rs:200-249 semantics).
@@ -181,8 +304,17 @@ class CoverageIndex:
         if prow.size == 0:
             return found, idx, ncont
 
-        # shell ray cast
-        inside = self._ray_cast_pairs(px[prow], py[prow], pcol, self.sx, self.sy, self.soff, self.slen)
+        # shell ray cast (f32 mirror + certified exact fallback, unless
+        # the index was built f64-only)
+        if getattr(self, "use_f32", True):
+            inside = self._ray_cast_pairs_fast(
+                px[prow], py[prow], pcol, self.sx, self.sy, self.soff, self.slen,
+                self.scx, self.scy, self.sx32, self.sy32, self.sE,
+            )
+        else:
+            inside = self._ray_cast_pairs(
+                px[prow], py[prow], pcol, self.sx, self.sy, self.soff, self.slen
+            )
         prow, pcol = prow[inside], pcol[inside]
         if prow.size and self.hole_poly.size:
             # hole exclusion: pairs (point, hole ring) for polys with holes
@@ -203,9 +335,17 @@ class CoverageIndex:
                     + np.repeat(h_lo, h_cnt)
                 )
                 hridx = horder[hpos]
-                in_hole = self._ray_cast_pairs(
-                    px[prow[src]], py[prow[src]], hridx, self.hx, self.hy, self.hoff, self.hlen
-                )
+                if getattr(self, "use_f32", True):
+                    in_hole = self._ray_cast_pairs_fast(
+                        px[prow[src]], py[prow[src]], hridx,
+                        self.hx, self.hy, self.hoff, self.hlen,
+                        self.hcx, self.hcy, self.hx32, self.hy32, self.hE,
+                    )
+                else:
+                    in_hole = self._ray_cast_pairs(
+                        px[prow[src]], py[prow[src]], hridx,
+                        self.hx, self.hy, self.hoff, self.hlen,
+                    )
                 bad = np.zeros(prow.size, dtype=bool)
                 bad[src[in_hole]] = True
                 prow, pcol = prow[~bad], pcol[~bad]

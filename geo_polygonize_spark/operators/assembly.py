@@ -361,6 +361,51 @@ def _make_split_kernel(x0: float, y0: float, ts: float, gbc):
     return kernel
 
 
+_BYPASS_TILE_GATE = 4096
+
+
+def _split_tagged(rings: DataFrame, x0: float, y0: float, ts: float) -> DataFrame:
+    """Non-degenerate rings tagged with their bbox-corner tile and the
+    tile-local test — shared by the summary aggregate and the split
+    assembly body (bit-identical column expressions by construction)."""
+    nd = rings.where(F.abs("area") >= 1e-9)  # polygonizer.rs:138-140
+    ti = F.floor((F.col("bx1") - x0) / ts).cast("int")
+    tj = F.floor((F.col("by1") - y0) / ts).cast("int")
+    is_local = (
+        (F.col("bx2") <= F.lit(x0) + (ti + 1).cast("double") * ts)
+        & (F.col("by2") <= F.lit(y0) + (tj + 1).cast("double") * ts)
+    )
+    return nd.withColumn("ti", ti).withColumn("tj", tj).withColumn(
+        "is_local", is_local
+    )
+
+
+def split_ring_summary(rings: DataFrame, x0: float, y0: float, ts: float):
+    """The split assembly's one-scan summary row (global-residue gate
+    counts, driver-gated distinct CW member cells, and the TOTAL
+    non-degenerate ring count so a caller's strategy decision shares
+    this scan instead of paying its own count job)."""
+    tagged = _split_tagged(rings, x0, y0, float(ts))
+    cw_struct = F.when(
+        F.col("is_local") & (F.col("area") < 0),
+        F.struct(
+            F.col("ti").alias("i"), F.col("tj").alias("j"),
+            F.col("cx").alias("x"), F.col("cy").alias("y"),
+        ),
+    )
+    return tagged.agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(~F.col("is_local"), 1)).alias("n"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_local"), F.size("xs"))), F.lit(0)
+        ).alias("c"),
+        F.slice(
+            F.sort_array(F.collect_set(cw_struct)), 1, _BYPASS_TILE_GATE + 1
+        ).alias("cw_cells"),
+        F.size(F.collect_set(cw_struct)).alias("n_cw_cells"),
+    ).collect()[0]
+
+
 def assemble_rings_split(
     rings: DataFrame,
     x0: float,
@@ -370,6 +415,7 @@ def assemble_rings_split(
     global_rows_gate: int = 100_000,
     global_coords_gate: int = 10_000_000,
     rings_cached: bool = False,
+    summary=None,
 ) -> DataFrame:
     """Assemble polygons from a ring set (RING_SCHEMA + rid), per-tile
     for tile-local rings (module docstring). Output schema and
@@ -399,16 +445,7 @@ def assemble_rings_split(
     own_cache = not rings_cached
     if own_cache:
         rings = rings.persist()
-    nd = rings.where(F.abs("area") >= 1e-9)  # polygonizer.rs:138-140
-    ti = F.floor((F.col("bx1") - x0) / ts).cast("int")
-    tj = F.floor((F.col("by1") - y0) / ts).cast("int")
-    is_local = (
-        (F.col("bx2") <= F.lit(x0) + (ti + 1).cast("double") * ts)
-        & (F.col("by2") <= F.lit(y0) + (tj + 1).cast("double") * ts)
-    )
-    tagged = nd.withColumn("ti", ti).withColumn("tj", tj).withColumn(
-        "is_local", is_local
-    )
+    tagged = _split_tagged(rings, x0, y0, ts)
 
     # ONE summary aggregate over the ring set (r6 — was three separate
     # full scans: the global gate, the CW tile-key job and the residue
@@ -417,27 +454,13 @@ def assemble_rings_split(
     # drive the member bypass below. Then the residue itself is fetched
     # through one PARALLEL Arrow job — Spark's incremental
     # limit().collect() runs 1→4→20-task waves and converts ring arrays
-    # row-by-row through py4j.
-    _BYPASS_TILE_GATE = 4096
+    # row-by-row through py4j. Callers that already aggregated the
+    # summary for their own strategy decision pass it in (``summary``)
+    # and this function runs zero extra full scans before the kernel.
     glob = tagged.where(~F.col("is_local")).select(*_RING_COLS)
-    cw_struct = F.when(
-        F.col("is_local") & (F.col("area") < 0),
-        F.struct(
-            F.col("ti").alias("i"), F.col("tj").alias("j"),
-            F.col("cx").alias("x"), F.col("cy").alias("y"),
-        ),
-    )
-    summary = tagged.agg(
-        F.count(F.when(~F.col("is_local"), 1)).alias("n"),
-        F.coalesce(
-            F.sum(F.when(~F.col("is_local"), F.size("xs"))), F.lit(0)
-        ).alias("c"),
-        F.slice(
-            F.sort_array(F.collect_set(cw_struct)), 1, _BYPASS_TILE_GATE + 1
-        ).alias("cw_cells"),
-        F.size(F.collect_set(cw_struct)).alias("n_cw_cells"),
-    ).collect()[0]
-    _smark("summary_job")
+    if summary is None:
+        summary = split_ring_summary(rings, x0, y0, ts)
+        _smark("summary_job")
     if (
         int(summary["n"]) > global_rows_gate
         or int(summary["c"]) > global_coords_gate

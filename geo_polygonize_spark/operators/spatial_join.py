@@ -146,7 +146,12 @@ def broadcast_coverage_index(spark, polygons: DataFrame | None = None, rows: lis
 
     if rows is None:
         rows = polygons.toPandas().to_dict("records")
-    return spark.sparkContext.broadcast(CoverageIndex(rows))
+    # f32-mirror ray cast iff the deployment is wide enough to be
+    # bandwidth-contended (kernels/coverage.py — measured crossover
+    # between 8 and 32 local cores; results identical either way)
+    return spark.sparkContext.broadcast(
+        CoverageIndex(rows, use_f32=spark.sparkContext.defaultParallelism >= 16)
+    )
 
 
 def pip_join_broadcast(
@@ -181,7 +186,10 @@ def pip_join_broadcast(
         # driver-transfer-bound and flat across core counts). A
         # broadcast transfers once per executor and the closure only
         # carries the handle.
-        bc = points.sparkSession.sparkContext.broadcast(CoverageIndex(rows))
+        sc = points.sparkSession.sparkContext
+        bc = sc.broadcast(
+            CoverageIndex(rows, use_f32=sc.defaultParallelism >= 16)
+        )
 
     schema = T.StructType(
         [

@@ -583,16 +583,22 @@ def stitched_polygonize(
         # auto branch runs anyway just moves into this phase)
         n_r = rings.count()
         _t = _prof(f"level/levels+trace (rings={n_r})", _t)
+    _summary = None
     if assembly == "auto":
         # r5: large ring sets take the per-tile split assembly (one
         # coords shuffle + narrow residue; operators/assembly.py).
         # Crossover re-measured with split available: the one-task
         # local assembly is serial-bound (grid-800: 14.7 s local vs
         # 3.5 s split interleaved; grid-400: 3.4 vs 3.1) — 100k rings
-        # is the conservative switch point
+        # is the conservative switch point. r6: the decision count
+        # rides on the split assembly's OWN summary aggregate (one
+        # scan serves both), so choosing "split" costs no extra job.
+        from .assembly import split_ring_summary
+
+        _summary = split_ring_summary(rings, x0, y0, float(tile_size))
         assembly = (
             "local"
-            if rings.count() <= min(distributed_assembly_threshold, 100_000)
+            if int(_summary["n_all"]) <= min(distributed_assembly_threshold, 100_000)
             else "split"
         )
     if assembly == "local":
@@ -603,6 +609,7 @@ def stitched_polygonize(
         out = assemble_rings_split(
             rings, x0, y0, float(tile_size), drop_collapsed=drop_collapsed,
             rings_cached=True,  # persisted above
+            summary=_summary,
         )
     else:
         out = assemble_rings_distributed(rings, drop_collapsed=drop_collapsed)

@@ -271,3 +271,60 @@ class TestMorton:
         c = cell_morton(arr(0.5, 0.6, 99.0), arr(0.5, 0.6, 99.0), 0.0, 0.0, 1.0)
         assert c[0] == c[1]
         assert c[0] != c[2]
+
+
+def test_coverage_index_f32_mirror_bit_identical():
+    """r6 memory diet (kernels/coverage.py): the f32 ring-local ray
+    cast + certified exact fallback must agree with the pure-f64
+    evaluation on EVERY probe — including adversarial probes on or
+    within a few ulps of edges/vertices, where the certification must
+    route to the exact path rather than guess."""
+    import numpy as np
+    from geo_polygonize_spark.kernels.coverage import CoverageIndex
+
+    rng = np.random.default_rng(11)
+    polys = []
+    pid = 0
+    # unit-cell lattice patch, far from origin to stress cancellation
+    X0 = 1000.0
+    for i in range(12):
+        for j in range(12):
+            x, y = X0 + i, X0 + j
+            polys.append(dict(
+                tile_i=0, tile_j=0, poly_id=pid, area=1.0,
+                shell_xs=[x, x + 1, x + 1, x, x],
+                shell_ys=[y, y, y + 1, y + 1, y],
+                hole_xs=None, hole_ys=None))
+            pid += 1
+    # a big ring with a hole (large extent -> larger f32 error scale)
+    polys.append(dict(
+        tile_i=0, tile_j=0, poly_id=pid, area=140.0,
+        shell_xs=[X0 - 20, X0 - 2, X0 - 2, X0 - 20, X0 - 20],
+        shell_ys=[X0, X0, X0 + 10, X0 + 10, X0],
+        hole_xs=[[X0 - 15, X0 - 8, X0 - 8, X0 - 15, X0 - 15]],
+        hole_ys=[[X0 + 2, X0 + 2, X0 + 7, X0 + 7, X0 + 2]]))
+
+    idx = CoverageIndex(polys)
+    ref = CoverageIndex(polys)
+    # force the reference instance onto the pure-f64 path
+    ref._ray_cast_pairs_fast = (
+        lambda px, py, ridx, fx, fy, off, length, *rest:
+        ref._ray_cast_pairs(px, py, ridx, fx, fy, off, length)
+    )
+
+    probes = [rng.uniform(X0 - 22, X0 + 13, size=(20000, 2))]
+    # adversarial: on/near edges and vertices at several ulp scales
+    edges_x = X0 + np.arange(13, dtype=np.float64)
+    near = []
+    for ex in edges_x[:6]:
+        for d in (0.0, 1e-13, 1e-9, 1e-7, -1e-13, -1e-9, -1e-7):
+            near.append([ex + d, X0 + 3.5])
+            near.append([X0 + 3.5, ex - X0 + X0 + d])
+            near.append([ex + d, ex - X0 + X0 + d])  # vertex-ish
+    probes.append(np.asarray(near))
+    pts = np.concatenate(probes)
+    f1, i1, n1 = idx.query(pts[:, 0].copy(), pts[:, 1].copy())
+    f2, i2, n2 = ref.query(pts[:, 0].copy(), pts[:, 1].copy())
+    assert np.array_equal(f1, f2)
+    assert np.array_equal(n1, n2)
+    assert np.array_equal(i1[f1], i2[f2])
