@@ -331,9 +331,22 @@ def minhash_dedup_keepers(
     """End-to-end near-dup dedup: minhash-LSH pairs → connected
     components → ``(doc_id, keeper)`` for EVERY input document
     (singletons keep themselves). The doc→keeper mapping a curation
-    pipeline filters on (keep rows where doc_id = keeper)."""
+    pipeline filters on (keep rows where doc_id = keeper).
+
+    r6 (guide §1.2 — don't compute what's known): CC runs over the
+    PAIR-TOUCHED ids only — a singleton's label can never change (no
+    edge, and the doubling hop is the identity on self-labels), so
+    carrying the whole corpus through every round's joins and checksums
+    only scaled the rounds with corpus size. Singletons attach as
+    keeper = self with one left join in the returned plan; at corpus
+    scale the CC rounds now cost O(duplicate subgraph), not O(corpus)."""
     pairs = minhash_lsh_dedup(df, text, id_col, **lsh_kwargs)
-    return connected_keepers(pairs, all_ids=df, id_col=id_col)
+    cc = connected_keepers(pairs, id_col=id_col)
+    return (
+        df.select(F.col(id_col))
+        .join(cc, id_col, "left")
+        .withColumn("keeper", F.coalesce("keeper", F.col(id_col)))
+    )
 
 
 def simhash64(
