@@ -557,26 +557,37 @@ def stitched_polygonize(
             f"assembly must be auto|local|distributed|split, got {assembly!r}"
         )
     # the ring set is the hub of the assembly DAG (promotion anti-join,
-    # cell join, hole aggregation all re-consume it). r6: EAGER
-    # localCheckpoint instead of persist — the level chain's logical
-    # plan (n_levels of unions over persisted frames) made every
-    # downstream action re-run Catalyst over the whole tree (~0.5-0.7 s
-    # of driver planning PER assembly job, 4-6 jobs); the checkpoint
-    # truncates lineage to a leaf, is GC-cleaned with the frame, and
-    # leaves no CacheManager entry to plan-match a later run.
-    rings = rings.localCheckpoint(eager=True)
-    # the checkpoint holds the data now — the per-level kernel caches
-    # (and the segment/presplit caches + the driver pre-split parquet
-    # handoff, if any) are dead weight from here on
-    for o in level_outs:
-        o.unpersist()
-    for c in _own_caches:
-        c.unpersist()
-    if _presplit_file is not None:
-        try:
-            _os.remove(_presplit_file)
-        except OSError:
-            pass
+    # cell join, hole aggregation all re-consume it). r6: localCheckpoint
+    # instead of persist — the level chain's logical plan (n_levels of
+    # unions over persisted frames) made every downstream action re-run
+    # Catalyst over the whole tree (~0.5-0.7 s of driver planning PER
+    # assembly job, 4-6 jobs); the checkpoint truncates lineage to a
+    # leaf, is GC-cleaned with the frame, and leaves no CacheManager
+    # entry to plan-match a later run. On the auto path the checkpoint
+    # is LAZY: the summary aggregate below is the first action anyway,
+    # so the whole level chain materializes inside it instead of as its
+    # own job wave (the cache cleanup moves after that action); explicit
+    # assembly choices keep the eager shape because their first action
+    # may only happen in the caller.
+    _lazy_ckpt = assembly == "auto"
+    rings = rings.localCheckpoint(eager=not _lazy_ckpt)
+
+    def _drop_trace_caches():
+        # the checkpoint holds the data now — the per-level kernel
+        # caches (and the segment/presplit caches + the driver
+        # pre-split parquet handoff, if any) are dead weight
+        for o in level_outs:
+            o.unpersist()
+        for c in _own_caches:
+            c.unpersist()
+        if _presplit_file is not None:
+            try:
+                _os.remove(_presplit_file)
+            except OSError:
+                pass
+
+    if not _lazy_ckpt:
+        _drop_trace_caches()
     if _os.environ.get("SPARK_GRAFT_PROFILE"):
         # force the whole lazy level chain here so the phase split is
         # levels+trace vs assembly (rings is persisted — the count the
@@ -592,10 +603,12 @@ def stitched_polygonize(
         # 3.5 s split interleaved; grid-400: 3.4 vs 3.1) — 100k rings
         # is the conservative switch point. r6: the decision count
         # rides on the split assembly's OWN summary aggregate (one
-        # scan serves both), so choosing "split" costs no extra job.
+        # scan serves both), so choosing "split" costs no extra job —
+        # and it is the action that materializes the lazy checkpoint.
         from .assembly import split_ring_summary
 
         _summary = split_ring_summary(rings, x0, y0, float(tile_size))
+        _drop_trace_caches()
         assembly = (
             "local"
             if int(_summary["n_all"]) <= min(distributed_assembly_threshold, 100_000)
